@@ -1,0 +1,138 @@
+"""Typed configuration for the whole pipeline.
+
+The reference scatters its constants across headers (screen dims and filter
+constants on the adapter, grid shape in frc.hpp:22-26, match thresholds in
+kpm.hpp:206/388/401, kernel sizes in kpe.hpp:16-17, …).  Here every tunable
+lives in one frozen dataclass so a run is fully described by one value.
+
+Reference constant inventory (file:line cites into /root/reference/src):
+
+- screen 388x312, artifact dev 2.0, filter size 15   (main.cpp:199-201)
+- grid 4x2, overlap 16                                (frc.hpp:22-24)
+- weight_switch 10, region_votes 3                    (frc.hpp:32-34)
+- kernel 5 / kernel_half 2                            (kpe.hpp:16-17)
+- max_weight 3                                        (kpr.hpp:96)
+- aws: min area 1/3, height 2/5, width 2/3, stagnation 100 (aws.hpp:110-118)
+- fde foreground area limit 1/5                       (fde.hpp:94)
+- fgs cell 15x15, weight_switch SIZE_MAX              (fgs.hpp:105-122)
+- kpm: >=1/4 regions active, runner-up margin active/2,
+  0.66 matched-cell ratio                             (kpm.hpp:206,388,401)
+- fgm histogram depth 16                              (fgm.hpp:12)
+
+TPU-specific additions (no reference equivalent): fixed keypoint-table
+capacities (replacing the reference's unbounded hash maps, kpr.hpp:105-110),
+frame batch size for device dispatch, and atlas padding granularity
+(replacing fgm's dynamic matrix growth, fgm.hpp:190-233).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchConfig:
+    """Vote-matching thresholds (kpm.hpp; frc.hpp:30-44, fgs.hpp:105-117)."""
+
+    #: Use only weight-2 keypoints when both frames have "enough" of them:
+    #: all weights are used iff ``prev_w2 < weight_switch or curr_w2 <=
+    #: weight_switch`` (kpm.hpp:213-223).  frc uses 10; fgs uses "infinity"
+    #: (always all weights).
+    weight_switch: int = 10
+    #: Top offsets kept per region before the Borda count (kpm.hpp:132).
+    region_votes: int = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    # --- frame geometry -------------------------------------------------
+    #: (width, height) of the raw input frames.  Reference: 388x312 C64
+    #: capture (main.cpp:199).  The TPU benchmark target is NES 256x240.
+    screen_width: int = 388
+    screen_height: int = 312
+
+    # --- keypoint extraction (kpe) --------------------------------------
+    kernel_size: int = 5          # kpe.hpp:16
+    #: Grid of keypoint regions and the shared-band overlap (frc.hpp:22-24).
+    grid_width: int = 4
+    grid_height: int = 2
+    grid_overlap: int = 16
+
+    # --- matching (kpm) -------------------------------------------------
+    match: MatchConfig = dataclasses.field(default_factory=MatchConfig)
+    #: Minimum fraction of active regions to even attempt a frame match:
+    #: ``active >= region_count // 4`` (kpm.hpp:400-403).
+    min_active_divisor: int = 4
+    #: Winner must lead runner-up by ``active // 2`` Borda points
+    #: (kpm.hpp:206).
+    runner_up_divisor: int = 2
+
+    # --- fragment splicing (fgs) ----------------------------------------
+    splice_cell: Tuple[int, int] = (15, 15)       # fgs.hpp:121
+    #: matched_cells >= 0.66 * active_cells (kpm.hpp:388).
+    splice_cell_ratio: float = 0.66
+
+    # --- action window scan (aws) ---------------------------------------
+    aws_min_area_divisor: int = 3       # area > screen_area/3   (aws.hpp:110)
+    aws_min_height_num: int = 2         # h > 2*H/5              (aws.hpp:111)
+    aws_min_height_den: int = 5
+    aws_min_width_num: int = 2          # w > 2*W/3              (aws.hpp:112)
+    aws_min_width_den: int = 3
+    aws_stagnation_limit: int = 100     # aws.hpp:118
+
+    # --- foreground extraction (fde) ------------------------------------
+    #: Drop foreground contours with area > frame_area/5 (fde.hpp:94).
+    fde_area_divisor: int = 5
+
+    # --- artifact filter (arf) ------------------------------------------
+    artifact_filter_size: int = 15      # main.cpp:201
+    artifact_filter_dev: float = 2.0    # main.cpp:200
+    #: Heat threshold: rare-pattern pixels have 1/sqrt((h+v)/2) > 0.25
+    #: (arf.hpp:280).
+    artifact_heat_threshold: float = 0.25
+
+    # --- atlas (fgm) ----------------------------------------------------
+    palette_depth: int = 16             # fgm.hpp:12
+
+    # --- TPU execution parameters (new design surface) ------------------
+    #: Fixed per-region keypoint-table capacity for frame matching.  The
+    #: reference's hash maps are unbounded (kpr.hpp:105-110); we use static
+    #: tables and report overflow so callers can re-run with more capacity.
+    region_capacity: int = 128
+    #: Capacity of the single whole-image region used in fragment splicing
+    #: (fgs uses a 1x1 grid, fgs.hpp:17).
+    splice_capacity: int = 2048
+    #: Frames per device dispatch in the batched collect path.
+    frame_batch: int = 128
+    #: Atlas dimensions are rounded up to multiples of this to bound the
+    #: number of distinct compiled shapes (replaces fgm's step growth).
+    atlas_pad: int = 128
+
+    # ---------------------------------------------------------------------
+    @property
+    def screen_dims(self) -> Tuple[int, int]:
+        """(height, width) — row-major array convention."""
+        return (self.screen_height, self.screen_width)
+
+    @property
+    def kernel_half(self) -> int:
+        return self.kernel_size // 2
+
+    @property
+    def region_count(self) -> int:
+        return self.grid_width * self.grid_height
+
+    def with_screen(self, width: int, height: int) -> "PipelineConfig":
+        return dataclasses.replace(self, screen_width=width, screen_height=height)
+
+
+#: Benchmark-target config: NES-resolution frames (BASELINE.json configs[0]).
+NES = PipelineConfig(screen_width=256, screen_height=240)
+#: SNES clip config (BASELINE.json configs[1]).
+SNES = PipelineConfig(screen_width=256, screen_height=224)
+#: The reference's own C64 capture format (main.cpp:199).
+C64 = PipelineConfig(screen_width=388, screen_height=312)
+#: High-res capture, pyramid matching, pod-slice sharding
+#: (BASELINE.json configs[4]).
+VGA = PipelineConfig(screen_width=640, screen_height=480)

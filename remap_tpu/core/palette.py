@@ -1,0 +1,75 @@
+"""Palette tables: native 4-bit codes <-> RGB <-> luminance-ordered values.
+
+The pipeline operates on "native" 4-bit palette indices.  Median filtering
+needs a *total order by luminance*, so native codes are remapped to "ordered
+values" (rank by intensity) before histogramming, and back after
+(cpl.hpp:163-226).  RGB output uses the hardcoded 16-entry C64 palette
+(cpl.hpp:77-92); intensity is the Rec.601 luma of the sRGB bytes
+(cpl.hpp:116-120).
+
+All tables are tiny (16 entries) and exposed both as NumPy arrays (host/spec
+code) and as constants ready to be captured by jitted functions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+#: 0x00RRGGBB words, C64 palette (cpl.hpp:77-92).
+NATIVE_TO_BLEND = np.array(
+    [
+        0x00000000, 0x00FFFFFF, 0x0068372B, 0x0070A4B2,
+        0x006F3D86, 0x00588D43, 0x00352879, 0x00B8C76F,
+        0x006F4F25, 0x00433900, 0x009A6759, 0x00444444,
+        0x006C6C6C, 0x009AD284, 0x006C5EB5, 0x00959595,
+    ],
+    dtype=np.uint32,
+)
+
+#: [16, 3] uint8 (R, G, B).
+NATIVE_TO_RGB = np.stack(
+    [
+        (NATIVE_TO_BLEND >> 16).astype(np.uint8),
+        (NATIVE_TO_BLEND >> 8).astype(np.uint8),
+        NATIVE_TO_BLEND.astype(np.uint8),
+    ],
+    axis=1,
+)
+
+
+def _intensity(rgb: np.ndarray) -> np.ndarray:
+    """Rec.601 luma in [0,1], float32 — matches cpl.hpp:116-120 exactly."""
+    r = rgb[:, 0].astype(np.float32)
+    g = rgb[:, 1].astype(np.float32)
+    b = rgb[:, 2].astype(np.float32)
+    return (
+        np.float32(0.3) * r + np.float32(0.59) * g + np.float32(0.11) * b
+    ) / np.float32(255.0)
+
+
+#: Per-native-code intensity (float32).
+NATIVE_INTENSITY = _intensity(NATIVE_TO_RGB)
+
+#: ordered rank -> native code, sorted ascending by intensity
+#: (cpl.hpp:164-182).  The C64 palette has no intensity ties, so the sort is
+#: unambiguous (verified in tests).
+ORDERED_TO_NATIVE = np.argsort(NATIVE_INTENSITY, kind="stable").astype(np.uint8)
+
+#: native code -> ordered rank (inverse permutation, cpl.hpp:187-205).
+NATIVE_TO_ORDERED = np.empty(16, dtype=np.uint8)
+NATIVE_TO_ORDERED[ORDERED_TO_NATIVE] = np.arange(16, dtype=np.uint8)
+
+
+def native_to_ordered(image: np.ndarray) -> np.ndarray:
+    """Remap native codes to luminance ranks (cpl.hpp:211-213)."""
+    return NATIVE_TO_ORDERED[image]
+
+
+def ordered_to_native(image: np.ndarray) -> np.ndarray:
+    """Remap luminance ranks back to native codes (cpl.hpp:215-217)."""
+    return ORDERED_TO_NATIVE[image]
+
+
+def native_to_rgb(image: np.ndarray) -> np.ndarray:
+    """[H, W] native codes -> [H, W, 3] uint8 RGB (main.cpp:255-259)."""
+    return NATIVE_TO_RGB[image]

@@ -1,0 +1,130 @@
+"""Spec: artifact filtering (arf.hpp).
+
+Rare (non-repeating) pixel patterns are detected by a pattern-frequency
+heatmap and replaced by Gaussian-weighted histogram voting:
+
+1. Per direction (rows / columns): slide a ``size``-pixel window along each
+   line; runs restart after any empty (mask==0) pixel (arf.hpp:160-183).
+   Every complete window increments a global per-direction counter for its
+   exact pixel sequence, and the window's *center* pixel is tagged with that
+   pattern; the heat value is the pattern's final total count
+   (arf.hpp:143-186: positions store a pointer into the counter map,
+   dereferenced after counting).  Untagged pixels have count 0.
+2. Combine: ``1 / sqrt((h + v) / 2)`` in float32 (arf.hpp:188-212; count 0
+   gives +inf).  Values **> 0.25** mark rare patterns (count sum < 32).
+3. Select: for interior pixels (``margin = gauss_size // 2`` …
+   ``arf.hpp:274-303``; the **last processed column of each row is skipped**
+   — the row loop runs ``width - size`` pixels, a reference quirk): rare
+   pixels take the argmax over a Gaussian blur of the dot histograms
+   restricted to colors present at the center; others take the plain
+   argmax.  Unprocessed pixels output color 0.
+4. The result is cropped by the fragment's empty margins (arf.hpp:320-327).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def heat_counts(
+    image: np.ndarray, mask: np.ndarray, size: int, axis: int
+) -> np.ndarray:
+    """Per-direction pattern-frequency map (arf.hpp:143-186).
+
+    axis=1: windows slide along rows; axis=0: along columns.
+    """
+    if axis == 0:
+        return heat_counts(image.T, mask.T, size, axis=1).T
+
+    h, w = image.shape
+    counts: Dict[Tuple[int, ...], int] = {}
+    centers = np.full((h, w), -1, dtype=np.int64)  # pattern id per center
+    patterns: Dict[Tuple[int, ...], int] = {}
+    pat_list = []
+
+    half = size // 2
+    for y in range(h):
+        run = 0
+        for x in range(w):
+            if mask[y, x] == 0:
+                run = 0
+                continue
+            run += 1
+            if run >= size:
+                pat = tuple(int(v) for v in image[y, x - size + 1 : x + 1])
+                counts[pat] = counts.get(pat, 0) + 1
+                pid = patterns.setdefault(pat, len(patterns))
+                if pid == len(pat_list):
+                    pat_list.append(pat)
+                centers[y, x - half] = pid
+
+    out = np.zeros((h, w), dtype=np.uint32)
+    if pat_list:
+        totals = np.array([counts[p] for p in pat_list], dtype=np.uint32)
+        tagged = centers >= 0
+        out[tagged] = totals[centers[tagged]]
+    return out
+
+
+def combine(h: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """1/sqrt((h+v)/2) in float32 (arf.hpp:188-212, exact-sqrt path)."""
+    s = (h.astype(np.float32) + v.astype(np.float32)) / np.float32(2.0)
+    with np.errstate(divide="ignore"):
+        return (np.float32(1.0) / np.sqrt(s)).astype(np.float32)
+
+
+def gauss_kernel(dev: float) -> np.ndarray:
+    """size = ceil(6*dev)|1; unnormalised Gaussian (arf.hpp:231-253)."""
+    size = int(math.ceil(6.0 * dev)) | 1
+    half = size // 2
+    d = np.float32(2.0 * dev * dev)
+    a = np.float32(1.0) / (np.float32(math.pi) * d)
+    ys = (np.arange(size, dtype=np.float32) - np.float32(half))[:, None]
+    xs = (np.arange(size, dtype=np.float32) - np.float32(half))[None, :]
+    return (a * np.exp(-(ys * ys + xs * xs) / d)).astype(np.float32)
+
+
+def select(
+    dots: np.ndarray,
+    heat: np.ndarray,
+    dev: float,
+    threshold: float = 0.25,
+) -> np.ndarray:
+    """Conditional Gaussian-vote color selection (arf.hpp:255-307)."""
+    kernel = gauss_kernel(dev)
+    size = kernel.shape[0]
+    margin = size // 2
+
+    h, w = dots.shape[:2]
+    out = np.zeros((h, w), dtype=np.uint8)
+    dots_f = dots.astype(np.float32)
+
+    for y in range(margin, h - margin):
+        for x in range(margin, w - margin - 1):  # last column skipped (quirk)
+            if heat[y, x] > threshold:
+                window = dots_f[
+                    y - margin : y + margin + 1, x - margin : x + margin + 1
+                ]
+                temp = (window * kernel[:, :, None]).sum(axis=(0, 1))
+                temp = temp * (dots[y, x] > 0)
+                out[y, x] = np.uint8(temp.argmax())
+            else:
+                out[y, x] = np.uint8(dots[y, x].argmax())
+    return out
+
+
+def filter_fragment(
+    dots: np.ndarray,
+    blend_image: np.ndarray,
+    blend_mask: np.ndarray,
+    size: int = 15,
+    dev: float = 2.0,
+) -> np.ndarray:
+    """arf::filter minus the final margin crop (arf.hpp:314-328)."""
+    hmap = heat_counts(blend_image, blend_mask, size, axis=1)
+    vmap = heat_counts(blend_image, blend_mask, size, axis=0)
+    heat = combine(hmap, vmap)
+    return select(dots, heat, dev)

@@ -1,0 +1,59 @@
+"""Core tables and region-band layout."""
+
+import numpy as np
+
+from remap_tpu.core import palette
+from remap_tpu.core.regions import make_layout
+
+
+def test_palette_tables_are_inverse_permutations():
+    assert sorted(palette.ORDERED_TO_NATIVE) == list(range(16))
+    assert np.array_equal(
+        palette.NATIVE_TO_ORDERED[palette.ORDERED_TO_NATIVE], np.arange(16)
+    )
+
+
+def test_palette_no_intensity_ties():
+    assert len(set(palette.NATIVE_INTENSITY.tolist())) == 16
+
+
+def test_palette_known_order():
+    # Hand-computed Rec.601 intensities of the C64 palette (cpl.hpp:77-92):
+    # black darkest, then blue(6), brown(9), dark-gray(11), red(2), ...
+    expected = [0, 6, 9, 11, 2, 8, 4, 14, 12, 10, 5, 15, 3, 13, 7, 1]
+    assert palette.ORDERED_TO_NATIVE.tolist() == expected
+
+
+def test_rgb_roundtrip():
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    rgb = palette.native_to_rgb(img)
+    assert rgb.shape == (4, 4, 3)
+    assert tuple(rgb[0, 1]) == (0xFF, 0xFF, 0xFF)
+    assert tuple(rgb[0, 2]) == (0x68, 0x37, 0x2B)
+
+
+def test_layout_nes():
+    # Hand-traced from kpe.hpp:84-90/157-192 for 256x240, grid 4x2, ov 16.
+    lo = make_layout(256, 240, 4, 2, 16)
+    assert lo.x_spans == ((2, 74), (58, 146), (130, 218), (202, 254))
+    assert lo.y_spans == ((2, 131), (115, 236))
+    assert lo.x_proc == (2, 254)
+    assert lo.y_proc == (2, 236)
+    assert lo.region_index(3, 1) == 7
+    assert lo.sections_of_x(60) == [0, 1]
+    assert lo.sections_of_x(100) == [1]
+    assert lo.sections_of_y(120) == [0, 1]
+
+
+def test_layout_c64():
+    # 388x312: rw = 97-8 = 89, rh = 156-8 = 148.
+    lo = make_layout(388, 312, 4, 2, 16)
+    assert lo.x_spans == ((2, 107), (91, 212), (196, 317), (301, 386))
+    assert lo.y_spans == ((2, 167), (151, 308))
+
+
+def test_layout_single_region():
+    # fgs uses a 1x1 grid with overlap 0 (fgs.hpp:17).
+    lo = make_layout(100, 80, 1, 1, 0)
+    assert lo.x_spans == ((2, 98),)
+    assert lo.y_spans == ((2, 76),)
