@@ -103,6 +103,9 @@ class PipelineConfig:
     #: Capacity of the single whole-image region used in fragment splicing
     #: (fgs uses a 1x1 grid, fgs.hpp:17).
     splice_capacity: int = 2048
+    #: Max same-code multiplicity handled exactly by the sort-merge join
+    #: in the matcher (overflow is flagged; raise for pathological inputs).
+    join_multiplicity: int = 8
     #: Frames per device dispatch in the batched collect path.
     frame_batch: int = 128
     #: Atlas dimensions are rounded up to multiples of this to bound the

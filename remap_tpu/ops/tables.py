@@ -1,0 +1,101 @@
+"""Fixed-capacity per-region keypoint tables (device form of kpr.hpp).
+
+The reference stores keypoints in per-region hash maps code -> point list
+(kpr.hpp:93-156).  On TPU we need static shapes: each grid region becomes a
+table of up to ``capacity`` keypoints (codes as 4 uint32 words, positions,
+validity), selected from the region's rectangle in row-major order.  Weight
+counts are *uncapped* (they feed the active/weight-switch logic,
+kpm.hpp:188-197/213-223); an overflow flag reports when a region had more
+keypoints than capacity so callers can re-run with a bigger table.
+
+Region rectangles come from core.regions.GridLayout (overlap bands are
+cartesian products of contiguous x/y spans, so each region is one static
+slice).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from remap_tpu.core.regions import GridLayout
+
+
+class RegionTables(NamedTuple):
+    codes: jax.Array     # [B, R, K, 4] uint32
+    pos: jax.Array       # [B, R, K, 2] int32 — (x, y) frame coords
+    valid: jax.Array     # [B, R, K] bool
+    wcounts: jax.Array   # [B, R, 3] int32 — full counts per weight (0,1,2)
+    overflow: jax.Array  # [B, R] bool
+
+
+def _region_table(
+    weight_slab: jax.Array,  # [B, rh, rw] uint8
+    codes_slab: jax.Array,   # [B, rh, rw, 4] uint32
+    x_lo: int,
+    y_lo: int,
+    capacity: int,
+):
+    b, rh, rw = weight_slab.shape
+    n = rh * rw
+    wflat = weight_slab.reshape(b, n)
+    cflat = codes_slab.reshape(b, n, 4)
+    if n < capacity:  # tiny regions: pad so top_k(k=capacity) is legal
+        pad = capacity - n
+        wflat = jnp.pad(wflat, ((0, 0), (0, pad)))
+        cflat = jnp.pad(cflat, ((0, 0), (0, pad), (0, 0)))
+        n = capacity
+    is_kp = wflat > 0
+
+    # Row-major top-K selection: keypoints first, by ascending flat index.
+    idx = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(is_kp, jnp.int32(1 << 30) - idx, -idx)
+    _, sel = jax.lax.top_k(key, capacity)             # [B, K]
+    valid = jnp.take_along_axis(is_kp, sel, axis=1)
+
+    codes = jnp.take_along_axis(cflat, sel[..., None], axis=1)
+    xs = (sel % rw).astype(jnp.int32) + x_lo
+    ys = (sel // rw).astype(jnp.int32) + y_lo
+    pos = jnp.stack([xs, ys], axis=-1)
+
+    w1 = (wflat == 1).sum(axis=1).astype(jnp.int32)
+    w2 = (wflat == 2).sum(axis=1).astype(jnp.int32)
+    wcounts = jnp.stack([jnp.zeros_like(w1), w1, w2], axis=-1)
+    overflow = (w1 + w2) > capacity
+    return codes, pos, valid, wcounts, overflow
+
+
+def build_tables(
+    weight: jax.Array,   # [B, H, W] uint8
+    codes: jax.Array,    # [B, H, W, 4] uint32
+    layout: GridLayout,
+    capacity: int,
+) -> RegionTables:
+    """Extract all R region tables; regions stack on axis 1 in index order
+    xs * grid_h + ys (kpr.hpp:68-91)."""
+    per_region = []
+    for xs in range(layout.grid_w):
+        for ys in range(layout.grid_h):
+            x_lo, x_hi, y_lo, y_hi = layout.region_span(xs, ys)
+            wslab = weight[:, y_lo:y_hi, x_lo:x_hi]
+            cslab = codes[:, y_lo:y_hi, x_lo:x_hi]
+            per_region.append(
+                _region_table(wslab, cslab, x_lo, y_lo, capacity)
+            )
+    return RegionTables(
+        codes=jnp.stack([r[0] for r in per_region], axis=1),
+        pos=jnp.stack([r[1] for r in per_region], axis=1),
+        valid=jnp.stack([r[2] for r in per_region], axis=1),
+        wcounts=jnp.stack([r[3] for r in per_region], axis=1),
+        overflow=jnp.stack([r[4] for r in per_region], axis=1),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("layout", "capacity"))
+def extract_tables(
+    weight: jax.Array, codes: jax.Array, layout: GridLayout, capacity: int
+) -> RegionTables:
+    return build_tables(weight, codes, layout, capacity)

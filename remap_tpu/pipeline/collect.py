@@ -1,0 +1,256 @@
+"""Batched frame collection (TPU form of frc.hpp).
+
+The reference's hot loop is serial: extract frame t, match against frame
+t-1's grid, accumulate position or break, blit (frc.hpp:55-122).  The
+dependency analysis (SURVEY.md §3.3) shows the only serial part is the
+*position prefix sum* — matching frame t needs only the (t-1, t) keypoint
+tables.  So the TPU design is two passes:
+
+1. **Pass 1 (batched)**: frames stream through the device in batches of
+   ``frame_batch``; one jitted step extracts medians/weights/codes
+   (ops.kpe), builds region tables (ops.tables), and matches all
+   consecutive pairs — carrying one frame's tables across the batch
+   boundary.  Offsets/flags come back to the host; positions and fragment
+   breaks are a trivial segmented cumsum.
+2. **Pass 2 (batched)**: per fragment, the exact reference canvas extent is
+   replayed arithmetically (state.simulate_growth) and all frames are
+   scatter-blitted in fixed-size device chunks (ops.atlas.blit_frames).
+
+Frames + medians are stored packed on the host for the foreground pass
+(state.FrameStore, replacing nic RLE storage, frc.hpp:129-135).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from remap_tpu.config import PipelineConfig
+from remap_tpu.core.regions import GridLayout, make_layout
+from remap_tpu.ops import atlas as atlas_ops
+from remap_tpu.ops import kpe as kpe_ops
+from remap_tpu.ops import kpm as kpm_ops
+from remap_tpu.ops import tables as table_ops
+from remap_tpu.pipeline.state import (
+    Fragment,
+    FrameRef,
+    FrameStore,
+    simulate_growth,
+)
+
+
+@dataclasses.dataclass(eq=False)
+class CollectResult:
+    fragments: List[Fragment]
+    store: FrameStore
+    #: offsets[t] is the declared offset of frame t vs t-1 (offsets[0] = 0).
+    offsets: np.ndarray      # [N, 2] int32
+    matched: np.ndarray      # [N] bool (matched[0] = False)
+    overflow_frames: int
+
+
+def make_collect_step(layout: GridLayout, cfg: PipelineConfig):
+    """Build the jitted pass-1 step for a fixed layout/config."""
+
+    @jax.jit
+    def step(images: jax.Array, carry: table_ops.RegionTables):
+        dense = kpe_ops.extract_dense(images, layout)
+        tabs = table_ops.build_tables(
+            dense.weight, dense.codes, layout, cfg.region_capacity
+        )
+        prev = jax.tree.map(
+            lambda c, t: jnp.concatenate([c, t[:-1]], axis=0), carry, tabs
+        )
+        res = kpm_ops.match_tables(
+            prev,
+            tabs,
+            layout,
+            weight_switch=cfg.match.weight_switch,
+            region_votes=cfg.match.region_votes,
+            min_active_divisor=cfg.min_active_divisor,
+            runner_up_divisor=cfg.runner_up_divisor,
+            multiplicity=cfg.join_multiplicity,
+        )
+        new_carry = jax.tree.map(lambda t: t[-1:], tabs)
+        overflow = tabs.overflow.any(axis=-1) | res.overflow
+        return dense.median, res.offset, res.ok, overflow, new_carry
+
+    return step
+
+
+def _empty_carry(layout: GridLayout, capacity: int) -> table_ops.RegionTables:
+    r = layout.region_count
+    return table_ops.RegionTables(
+        codes=jnp.zeros((1, r, capacity, 4), jnp.uint32),
+        pos=jnp.zeros((1, r, capacity, 2), jnp.int32),
+        valid=jnp.zeros((1, r, capacity), bool),
+        wcounts=jnp.zeros((1, r, 3), jnp.int32),
+        overflow=jnp.zeros((1, r), bool),
+    )
+
+
+def match_pass(
+    frames: Iterable[np.ndarray],
+    layout: GridLayout,
+    cfg: PipelineConfig,
+    store: Optional[FrameStore] = None,
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Pass 1: per-frame match offsets/flags (and fill the frame store)."""
+    step = make_collect_step(layout, cfg)
+    b = cfg.frame_batch
+
+    offsets: List[np.ndarray] = []
+    matched: List[np.ndarray] = []
+    overflow = 0
+    carry = _empty_carry(layout, cfg.region_capacity)
+
+    it = iter(frames)
+    batch: List[np.ndarray] = []
+    number = 0
+    done = False
+    while not done:
+        batch.clear()
+        while len(batch) < b:
+            try:
+                batch.append(next(it))
+            except StopIteration:
+                done = True
+                break
+        if not batch:
+            break
+        n_real = len(batch)
+        padded = batch + [batch[-1]] * (b - n_real)
+        images = jnp.asarray(np.stack(padded))
+        median, off, ok, ovf, carry = step(images, carry)
+        off = np.asarray(off)[:n_real]
+        ok = np.asarray(ok)[:n_real]
+        overflow += int(np.asarray(ovf)[:n_real].sum())
+        offsets.append(off)
+        matched.append(ok)
+        if store is not None:
+            meds = np.asarray(median)[:n_real]
+            store.put_batch(
+                list(range(number, number + n_real)),
+                np.stack(batch),
+                meds,
+            )
+        number += n_real
+
+    if not offsets:
+        return np.zeros((0, 2), np.int32), np.zeros((0,), bool), 0
+    off = np.concatenate(offsets)
+    ok = np.concatenate(matched)
+    # frame 0 never matches anything (frc.hpp:83-95)
+    ok[0] = False
+    off[0] = 0
+    off[~ok] = 0
+    return off, ok, overflow
+
+
+def segment_positions(
+    offsets: np.ndarray, matched: np.ndarray
+) -> List[Tuple[List[int], List[Tuple[int, int]]]]:
+    """Fragment segmentation + per-frame positions (frc.hpp:109-115):
+    a match failure starts a new fragment at (0, 0)."""
+    segments: List[Tuple[List[int], List[Tuple[int, int]]]] = []
+    pos = (0, 0)
+    for t in range(len(offsets)):
+        if not matched[t]:
+            segments.append(([], []))
+            pos = (0, 0)
+        else:
+            pos = (pos[0] + int(offsets[t, 0]), pos[1] + int(offsets[t, 1]))
+        segments[-1][0].append(t)
+        segments[-1][1].append(pos)
+    return segments
+
+
+def blit_pass(
+    segments: List[Tuple[List[int], List[Tuple[int, int]]]],
+    store: FrameStore,
+    cfg: PipelineConfig,
+) -> List[Fragment]:
+    """Pass 2: build each fragment's canvas with chunked device blits."""
+    fh, fw = store.height, store.width
+    b = cfg.frame_batch
+    fragments: List[Fragment] = []
+
+    for numbers, positions in segments:
+        zero, (cw, ch) = simulate_growth(positions, fw, fh)
+        dots = jnp.zeros((ch, cw, atlas_ops.DEPTH), jnp.uint16)
+        # blit in fixed chunks; dummy frames vote nowhere (mask != 0)
+        for i in range(0, len(numbers), b):
+            chunk_nos = numbers[i : i + b]
+            chunk_pos = positions[i : i + b]
+            n_real = len(chunk_nos)
+            imgs = store.images_batch(chunk_nos)
+            if n_real < b:
+                imgs = np.concatenate(
+                    [imgs, np.zeros((b - n_real, fh, fw), np.uint8)]
+                )
+            masks = np.zeros((b, fh, fw), np.uint8)
+            masks[n_real:] = 1
+            apos = np.array(
+                [(px - zero[0], py - zero[1]) for px, py in chunk_pos]
+                + [(0, 0)] * (b - n_real),
+                np.int32,
+            )
+            dots = atlas_ops.blit_frames(
+                jnp.asarray(imgs),
+                jnp.asarray(apos),
+                atlas_h=ch,
+                atlas_w=cw,
+                masks=jnp.asarray(masks),
+                dots=dots,
+            )
+        frag = Fragment(
+            dots=np.asarray(dots),
+            zero=zero,
+            frames=[
+                FrameRef(number=no, position=p)
+                for no, p in zip(numbers, positions)
+            ],
+            store=store,
+        )
+        frag.normalize()
+        fragments.append(frag)
+    return fragments
+
+
+def collect(
+    frames: Iterable[np.ndarray],
+    cfg: PipelineConfig,
+    layout: Optional[GridLayout] = None,
+) -> CollectResult:
+    """Full collect stage: returns normalized fragments (frc.hpp:74-80)."""
+    frames = iter(frames)
+    first = next(frames, None)
+    if first is None:
+        return CollectResult([], FrameStore(0, 0), np.zeros((0, 2), np.int32),
+                             np.zeros((0,), bool), 0)
+    h, w = first.shape
+    if layout is None:
+        layout = make_layout(
+            w, h, cfg.grid_width, cfg.grid_height, cfg.grid_overlap
+        )
+    store = FrameStore(h, w)
+
+    def chain():
+        yield first
+        yield from frames
+
+    offsets, matched, overflow = match_pass(chain(), layout, cfg, store)
+    segments = segment_positions(offsets, matched)
+    fragments = blit_pass(segments, store, cfg)
+    return CollectResult(
+        fragments=fragments,
+        store=store,
+        offsets=offsets,
+        matched=matched,
+        overflow_frames=overflow,
+    )

@@ -1,0 +1,149 @@
+"""Pipeline state containers: fragments and the frame store.
+
+The reference keeps every frame in RAM as RLE-compressed bytes inside the
+fragment records (fgm.hpp:27-37, frc.hpp:129-135) so the foreground pass
+can re-read them (fdf.hpp:60-66).  Here frames and medians live in a
+host-side :class:`FrameStore` as packed 4-bit nibbles (2 px/byte) — O(1)
+random access, zero decode cost on device upload — with the RLE codec
+available as an alternative backend (io.codec) for byte-parity and smaller
+footprints.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+def pack_nibbles(img: np.ndarray) -> np.ndarray:
+    """[H, W] uint8 (values < 16) -> [H, ceil(W/2)] uint8."""
+    h, w = img.shape
+    if w % 2:
+        img = np.pad(img, ((0, 0), (0, 1)))
+    return (img[:, 0::2] << 4) | img[:, 1::2]
+
+
+def unpack_nibbles(packed: np.ndarray, width: int) -> np.ndarray:
+    h = packed.shape[0]
+    out = np.empty((h, packed.shape[1] * 2), dtype=np.uint8)
+    out[:, 0::2] = packed >> 4
+    out[:, 1::2] = packed & 0x0F
+    return out[:, :width]
+
+
+class FrameStore:
+    """Packed-nibble storage of frame + median images by frame number."""
+
+    def __init__(self, height: int, width: int):
+        self.height = height
+        self.width = width
+        self._images: Dict[int, np.ndarray] = {}
+        self._medians: Dict[int, np.ndarray] = {}
+
+    def put(self, number: int, image: np.ndarray, median: np.ndarray) -> None:
+        self._images[number] = pack_nibbles(image)
+        self._medians[number] = pack_nibbles(median)
+
+    def put_batch(
+        self, numbers: List[int], images: np.ndarray, medians: np.ndarray
+    ) -> None:
+        packed_i = pack_nibbles_batch(images)
+        packed_m = pack_nibbles_batch(medians)
+        for k, no in enumerate(numbers):
+            self._images[no] = packed_i[k]
+            self._medians[no] = packed_m[k]
+
+    def image(self, number: int) -> np.ndarray:
+        return unpack_nibbles(self._images[number], self.width)
+
+    def median(self, number: int) -> np.ndarray:
+        return unpack_nibbles(self._medians[number], self.width)
+
+    def images_batch(self, numbers: List[int]) -> np.ndarray:
+        return np.stack([self.image(n) for n in numbers])
+
+    def medians_batch(self, numbers: List[int]) -> np.ndarray:
+        return np.stack([self.median(n) for n in numbers])
+
+    @property
+    def nbytes(self) -> int:
+        return sum(a.nbytes for a in self._images.values()) + sum(
+            a.nbytes for a in self._medians.values()
+        )
+
+    def __len__(self) -> int:
+        return len(self._images)
+
+
+def pack_nibbles_batch(imgs: np.ndarray) -> np.ndarray:
+    b, h, w = imgs.shape
+    if w % 2:
+        imgs = np.pad(imgs, ((0, 0), (0, 0), (0, 1)))
+    return (imgs[:, :, 0::2] << 4) | imgs[:, :, 1::2]
+
+
+@dataclasses.dataclass(eq=False)
+class FrameRef:
+    number: int
+    position: Tuple[int, int]  # (x, y) in fragment coordinate space
+
+
+@dataclasses.dataclass(eq=False)
+class Fragment:
+    """A stitched map fragment: vote-histogram canvas + frame records.
+
+    ``dots`` uses the reference's exact canvas dimensions (growth simulated
+    arithmetically, fgm.hpp:190-233) so downstream keypoint extraction sees
+    identical bounds.  ``zero`` is the canvas origin in position space;
+    after :meth:`normalize` all record positions are canvas indices.
+    """
+
+    dots: np.ndarray                 # [Ha, Wa, 16] uint16
+    zero: Tuple[int, int]
+    frames: List[FrameRef]
+    store: Optional[FrameStore] = None
+
+    def normalize(self) -> None:
+        zx, zy = self.zero
+        for f in self.frames:
+            f.position = (f.position[0] - zx, f.position[1] - zy)
+        self.zero = (0, 0)
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return self.dots.shape[0], self.dots.shape[1]
+
+
+def simulate_growth(
+    positions: List[Tuple[int, int]], frame_w: int, frame_h: int
+) -> Tuple[Tuple[int, int], Tuple[int, int]]:
+    """Replay fgm's step-quantised canvas growth (fgm.hpp:190-233) without
+    data: returns (zero, (canvas_w, canvas_h)) after blitting frames of
+    ``frame_w x frame_h`` at ``positions`` in order."""
+
+    def round_step(change: int, step: int) -> int:
+        rest = change % step
+        return change - rest + (step if rest else 0)
+
+    zx, zy = 0, 0
+    cw, ch = frame_w, frame_h
+    for px, py in positions:
+        gl = round_step(zx - px, frame_w) if px < zx else 0
+        gr = (
+            round_step(px + frame_w - (zx + cw), frame_w)
+            if px + frame_w > zx + cw
+            else 0
+        )
+        gt = round_step(zy - py, frame_h) if py < zy else 0
+        gb = (
+            round_step(py + frame_h - (zy + ch), frame_h)
+            if py + frame_h > zy + ch
+            else 0
+        )
+        zx -= gl
+        zy -= gt
+        cw += gl + gr
+        ch += gt + gb
+    return (zx, zy), (cw, ch)

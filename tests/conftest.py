@@ -2,14 +2,22 @@
 
 Multi-chip sharding is validated on a fake CPU mesh (the standard JAX
 pattern, SURVEY.md §4d); the real-TPU path is exercised by bench.py and the
-driver's dry runs.  Must run before any jax import.
+driver's dry runs.
+
+The surrounding environment boots a real-TPU "axon" PJRT plugin from
+sitecustomize and pins ``jax_platforms=axon,cpu`` *before* conftest runs,
+so env vars are too late — override the config directly (backends are not
+initialized until first use, so this is safe here).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

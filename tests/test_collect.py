@@ -1,0 +1,96 @@
+"""Batched collect stage vs the spec collector (bit-exact canvases)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from remap_tpu.config import PipelineConfig
+from remap_tpu.core.regions import make_layout
+from remap_tpu.pipeline import collect as jcollect
+from remap_tpu.pipeline.state import pack_nibbles, unpack_nibbles
+from remap_tpu.spec import frc as sfrc
+from remap_tpu.utils import testing
+
+CFG = PipelineConfig(
+    screen_width=96,
+    screen_height=64,
+    region_capacity=2048,
+    frame_batch=8,
+)
+
+
+def compare(frames):
+    layout = make_layout(96, 64, 4, 2, 16)
+    jres = jcollect.collect(frames, CFG, layout)
+    assert jres.overflow_frames == 0
+    sfrags = sfrc.collect(frames, layout)
+
+    assert len(jres.fragments) == len(sfrags)
+    for jf, sf in zip(jres.fragments, sfrags):
+        assert jf.zero == (0, 0) and sf.zero == (0, 0)
+        assert jf.dots.shape == sf.dots.shape
+        np.testing.assert_array_equal(jf.dots, sf.dots)
+        assert [(r.number, r.position) for r in jf.frames] == [
+            (r.number, r.position) for r in sf.frames
+        ]
+    return jres, sfrags
+
+
+def test_single_fragment_clip():
+    clip = testing.simple_clip(
+        n_frames=20, frame_hw=(64, 96), world_hw=(160, 224), seed=41
+    )
+    jres, _ = compare(clip.frames)
+    # offsets equal true camera deltas
+    true = clip.offsets
+    got = [tuple(o) for o in jres.offsets[1:]]
+    assert got == true
+
+
+def test_fragment_breaks():
+    clip_a = testing.simple_clip(n_frames=7, seed=43)
+    rng = np.random.default_rng(44)
+    noise = rng.integers(0, 16, size=(64, 96), dtype=np.uint8)
+    clip_b = testing.simple_clip(n_frames=6, seed=45)
+    frames = clip_a.frames + [noise] + clip_b.frames
+    jres, _ = compare(frames)
+    assert len(jres.fragments) == 3
+
+
+def test_batch_boundary_invariance():
+    # results must not depend on the device batch size
+    clip = testing.simple_clip(
+        n_frames=13, frame_hw=(64, 96), world_hw=(160, 224), seed=47
+    )
+    ref = None
+    for batch in (4, 5, 13, 32):
+        cfg = dataclasses.replace(CFG, frame_batch=batch)
+        res = jcollect.collect(clip.frames, cfg)
+        got = (
+            [tuple(o) for o in res.offsets],
+            res.matched.tolist(),
+            len(res.fragments),
+        )
+        if ref is None:
+            ref = got
+        assert got == ref, batch
+
+
+def test_store_roundtrip():
+    clip = testing.simple_clip(n_frames=5, seed=49)
+    jres = jcollect.collect(clip.frames, CFG)
+    for i, f in enumerate(clip.frames):
+        np.testing.assert_array_equal(jres.store.image(i), f)
+    # medians: stored medians match spec extraction
+    from remap_tpu.spec import kpe as skpe
+
+    layout = make_layout(96, 64, 4, 2, 16)
+    s = skpe.extract(clip.frames[2], layout)
+    np.testing.assert_array_equal(jres.store.median(2), s.median)
+
+
+def test_nibble_packing_odd_width():
+    rng = np.random.default_rng(50)
+    img = rng.integers(0, 16, size=(9, 31), dtype=np.uint8)
+    np.testing.assert_array_equal(unpack_nibbles(pack_nibbles(img), 31), img)

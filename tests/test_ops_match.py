@@ -1,0 +1,107 @@
+"""Device matcher vs spec matcher across many random frame pairs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from remap_tpu.core.regions import make_layout
+from remap_tpu.ops import kpe as jkpe
+from remap_tpu.ops import kpm as jkpm
+from remap_tpu.ops import tables as jtab
+from remap_tpu.spec import kpe as skpe
+from remap_tpu.spec import kpm as skpm
+from remap_tpu.utils import testing
+
+
+def run_both(frames, layout, weight_switch=10, capacity=2048):
+    imgs = jnp.asarray(np.stack(frames))
+    dense = jkpe.extract_dense(imgs, layout)
+    tabs = jtab.extract_tables(dense.weight, dense.codes, layout, capacity)
+    prev = jax.tree.map(lambda a: a[:-1], tabs)
+    curr = jax.tree.map(lambda a: a[1:], tabs)
+    res = jkpm.match_tables_jit(prev, curr, layout, weight_switch=weight_switch)
+    assert not bool(np.asarray(res.overflow).any())
+
+    specs = [skpe.extract(f, layout) for f in frames]
+    spec_offs = [
+        skpm.match_frames(
+            specs[t - 1].regions, specs[t].regions, weight_switch=weight_switch
+        )
+        for t in range(1, len(frames))
+    ]
+    jax_offs = [
+        tuple(int(v) for v in np.asarray(res.offset[t])) if res.ok[t] else None
+        for t in range(len(frames) - 1)
+    ]
+    return spec_offs, jax_offs
+
+
+def test_scrolling_world_matches():
+    rng = np.random.default_rng(31)
+    world = testing.make_world(200, 260, rng)
+    layout = make_layout(96, 64, 4, 2, 16)
+    path = testing.make_camera_path(16, (200, 260), (64, 96), rng, max_step=4)
+    frames = [world[y : y + 64, x : x + 96] for x, y in path]
+    spec_offs, jax_offs = run_both(frames, layout)
+    assert spec_offs == jax_offs
+    # and they equal the true camera deltas
+    true = [
+        (path[t][0] - path[t - 1][0], path[t][1] - path[t - 1][1])
+        for t in range(1, len(path))
+    ]
+    assert jax_offs == true
+
+
+def test_mixed_matchable_and_noise():
+    rng = np.random.default_rng(33)
+    world = testing.make_world(160, 200, rng)
+    frames = [world[10 : 10 + 48, 10 : 10 + 64]]
+    frames.append(world[12 : 12 + 48, 13 : 13 + 64])
+    frames.append(rng.integers(0, 16, size=(48, 64), dtype=np.uint8))
+    frames.append(rng.integers(0, 16, size=(48, 64), dtype=np.uint8))
+    frames.append(world[50 : 50 + 48, 40 : 40 + 64])
+    layout = make_layout(64, 48, 4, 2, 8)
+    spec_offs, jax_offs = run_both(frames, layout)
+    assert spec_offs == jax_offs
+    assert jax_offs[0] == (3, 2)
+    assert jax_offs[1] is None and jax_offs[2] is None
+
+
+def test_weight_switch_paths():
+    # exercise both branches of the adaptive weight filter on noisy frames
+    rng = np.random.default_rng(35)
+    world = testing.make_world(140, 180, rng)
+    frames = [
+        world[20 : 20 + 48, 20 : 20 + 64],
+        world[22 : 22 + 48, 21 : 21 + 64],
+    ]
+    layout = make_layout(64, 48, 4, 2, 8)
+    for ws in (0, 1, 10, 10_000):
+        spec_offs, jax_offs = run_both(frames, layout, weight_switch=ws)
+        assert spec_offs == jax_offs, ws
+
+
+def test_sparse_keypoints_gate():
+    # frames with almost no keypoints: gate on active regions
+    flat = np.zeros((48, 64), dtype=np.uint8)
+    a = flat.copy()
+    a[10, 10] = 5  # a single anomalous pixel -> keypoints in one region only
+    layout = make_layout(64, 48, 4, 2, 8)
+    spec_offs, jax_offs = run_both([a, a.copy()], layout)
+    assert spec_offs == jax_offs == [None]
+
+
+def test_join_multiplicity_overflow_flagged():
+    # a frame of repeated identical patches -> same code everywhere
+    tile = np.zeros((48, 64), dtype=np.uint8)
+    tile[::3, ::3] = 7  # periodic pattern, many identical codes
+    imgs = jnp.asarray(np.stack([tile, tile]))
+    layout = make_layout(64, 48, 4, 2, 8)
+    dense = jkpe.extract_dense(imgs, layout)
+    tabs = jtab.extract_tables(dense.weight, dense.codes, layout, 2048)
+    prev = jax.tree.map(lambda a: a[:1], tabs)
+    curr = jax.tree.map(lambda a: a[1:], tabs)
+    res = jkpm.match_tables_jit(prev, curr, layout, weight_switch=10)
+    if bool(np.asarray(tabs.valid).sum()) > 16:
+        assert bool(np.asarray(res.overflow).any())
