@@ -1,0 +1,111 @@
+"""Command-line interface: ``python -m remap_tpu.cli <frames-dir>``.
+
+Mirrors the reference binary's contract (main.cpp:246-266): a directory of
+numerically-named raw frame dumps in, ``out<i>.png`` world maps out — with
+flags for the screen geometry, frame format, artifact constants, device
+batch sizes and checkpointing that the reference hardcodes
+(main.cpp:194-244).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+from remap_tpu.config import MatchConfig, PipelineConfig
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="remap-tpu",
+        description="Reconstruct a game world map from captured frames.",
+    )
+    p.add_argument("frames_dir", help="directory of frame files")
+    p.add_argument("--format", choices=["raw", "png"], default="raw",
+                   help="frame file format (raw = 1 byte/px palette codes)")
+    p.add_argument("--width", type=int, default=388,
+                   help="screen width (raw format; reference: 388)")
+    p.add_argument("--height", type=int, default=312,
+                   help="screen height (raw format; reference: 312)")
+    p.add_argument("--out-prefix", default="out",
+                   help="output PNG prefix (out -> out1.png, ...)")
+    p.add_argument("--artifact-dev", type=float, default=2.0)
+    p.add_argument("--artifact-size", type=int, default=15)
+    p.add_argument("--weight-switch", type=int, default=10)
+    p.add_argument("--region-votes", type=int, default=3)
+    p.add_argument("--frame-batch", type=int, default=128)
+    p.add_argument("--region-capacity", type=int, default=768)
+    p.add_argument("--splice-capacity", type=int, default=2048)
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="dump stage checkpoints for resume/debug")
+    p.add_argument("--perf", action="store_true",
+                   help="print per-stage fps counters")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend")
+    return p
+
+
+def main(argv=None) -> int:
+    args = make_parser().parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from remap_tpu.utils.runtime import setup_cache
+
+    setup_cache()
+
+    from remap_tpu.io import frames as frames_io
+    from remap_tpu.io import png as png_io
+    from remap_tpu.pipeline import builder
+
+    cfg = PipelineConfig(
+        screen_width=args.width,
+        screen_height=args.height,
+        match=MatchConfig(
+            weight_switch=args.weight_switch,
+            region_votes=args.region_votes,
+        ),
+        artifact_filter_dev=args.artifact_dev,
+        artifact_filter_size=args.artifact_size,
+        frame_batch=args.frame_batch,
+        region_capacity=args.region_capacity,
+        splice_capacity=args.splice_capacity,
+    )
+
+    try:
+        if args.format == "raw":
+            feed = frames_io.RawDirectoryFeed(
+                args.frames_dir, args.width, args.height
+            )
+        else:
+            feed = frames_io.PngDirectoryFeed(args.frames_dir)
+    except (FileNotFoundError, NotADirectoryError) as e:
+        print(f"cannot read frames: {e}", file=sys.stderr)
+        return 1
+    if len(feed) == 0:
+        print(f"no frames in {args.frames_dir}", file=sys.stderr)
+        return 1
+
+    callbacks = builder.PerfCallbacks() if args.perf else None
+    result = builder.build(
+        lambda: iter(feed),
+        cfg,
+        callbacks=callbacks,
+        checkpoint_dir=args.checkpoint_dir,
+    )
+    if result.window is None:
+        print("no action window found", file=sys.stderr)
+        return 2
+
+    for i, image in enumerate(result.maps, start=1):
+        path = f"{args.out_prefix}{i}.png"
+        png_io.write_map(path, image)
+        print(f"wrote {path} ({image.shape[1]}x{image.shape[0]})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

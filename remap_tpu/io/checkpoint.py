@@ -1,0 +1,79 @@
+"""Fragment checkpoints: stage-boundary dump/reload (ful.hpp made real).
+
+The reference ships fragment serialization (dims + dot histograms + zero +
+per-frame number/position/RLE payloads, ful.hpp:11-102) but never calls
+it; here it is a working resume point between pipeline stages.  Format:
+one ``.npz`` per fragment (dots, zero, frame numbers/positions) plus the
+frames' packed nibble payloads, all under ``<dir>/<tag>/``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List
+
+import numpy as np
+
+from remap_tpu.pipeline.state import Fragment, FrameRef, FrameStore
+
+
+def save(directory: str, tag: str, fragments: List[Fragment]) -> None:
+    root = os.path.join(directory, tag)
+    os.makedirs(root, exist_ok=True)
+    meta = {"count": len(fragments)}
+    store = fragments[0].store if fragments else None
+    if store is not None:
+        meta["height"] = store.height
+        meta["width"] = store.width
+        np.savez_compressed(
+            os.path.join(root, "store.npz"),
+            numbers=np.array(sorted(store._images.keys()), np.int64),
+            images=np.stack(
+                [store._images[k] for k in sorted(store._images.keys())]
+            ),
+            medians=np.stack(
+                [store._medians[k] for k in sorted(store._medians.keys())]
+            ),
+        )
+    with open(os.path.join(root, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    for i, frag in enumerate(fragments):
+        np.savez_compressed(
+            os.path.join(root, f"fragment{i}.npz"),
+            dots=frag.dots,
+            zero=np.array(frag.zero, np.int64),
+            numbers=np.array([r.number for r in frag.frames], np.int64),
+            positions=np.array(
+                [r.position for r in frag.frames], np.int64
+            ).reshape(-1, 2),
+        )
+
+
+def load(directory: str, tag: str) -> List[Fragment]:
+    root = os.path.join(directory, tag)
+    with open(os.path.join(root, "meta.json")) as f:
+        meta = json.load(f)
+    store = None
+    store_path = os.path.join(root, "store.npz")
+    if os.path.exists(store_path):
+        store = FrameStore(meta["height"], meta["width"])
+        data = np.load(store_path)
+        for k, num in enumerate(data["numbers"]):
+            store._images[int(num)] = data["images"][k]
+            store._medians[int(num)] = data["medians"][k]
+    fragments = []
+    for i in range(meta["count"]):
+        data = np.load(os.path.join(root, f"fragment{i}.npz"))
+        fragments.append(
+            Fragment(
+                dots=data["dots"],
+                zero=tuple(int(v) for v in data["zero"]),
+                frames=[
+                    FrameRef(int(n), (int(p[0]), int(p[1])))
+                    for n, p in zip(data["numbers"], data["positions"])
+                ],
+                store=store,
+            )
+        )
+    return fragments

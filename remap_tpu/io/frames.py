@@ -1,0 +1,145 @@
+"""Frame feeds: raw captures and PNG directories.
+
+The reference reads a directory of raw frame dumps — one byte per pixel of
+4-bit palette indices, numerically-named files sorted by ``stoi`` —
+optionally cropping to the action window (nil.hpp:13-32, main.cpp:16-52,
+204-213).  ``RawDirectoryFeed`` reproduces that contract;
+``PngDirectoryFeed`` additionally accepts paletted/RGB PNG frames
+(BASELINE.json config 1 speaks of PNG clips) by nearest-palette mapping.
+
+Feeds are plain iterators of [H, W] uint8 arrays plus batch helpers used
+by the streaming collector.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from remap_tpu.core import palette
+from remap_tpu.core.geometry import Rect
+
+
+def _numeric_sort(names: Sequence[str]) -> List[str]:
+    """Sort by leading integer in the filename (main.cpp:210-212)."""
+
+    def key(name: str) -> int:
+        m = re.search(r"\d+", os.path.basename(name))
+        if m is None:
+            raise ValueError(f"frame file has no numeric name: {name}")
+        return int(m.group())
+
+    return sorted(names, key=key)
+
+
+class RawDirectoryFeed:
+    """Raw one-byte-per-pixel frames of fixed screen dimensions."""
+
+    def __init__(
+        self,
+        directory: str,
+        width: int,
+        height: int,
+        crop: Optional[Rect] = None,
+    ):
+        self.directory = directory
+        self.width = width
+        self.height = height
+        self.crop = crop
+        self.files = _numeric_sort(
+            os.path.join(directory, f) for f in os.listdir(directory)
+        )
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def read(self, index: int) -> np.ndarray:
+        data = np.fromfile(self.files[index], dtype=np.uint8)
+        if data.size < self.width * self.height:
+            # unreadable/short files yield a blank frame (nil.hpp:20-22)
+            img = np.zeros((self.height, self.width), np.uint8)
+        else:
+            img = data[: self.width * self.height].reshape(
+                self.height, self.width
+            )
+        if self.crop is not None:
+            c = self.crop
+            img = img[c.top : c.bottom, c.left : c.right]
+        return img
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        for i in range(len(self.files)):
+            yield self.read(i)
+
+    def with_crop(self, crop: Rect) -> "RawDirectoryFeed":
+        feed = RawDirectoryFeed.__new__(RawDirectoryFeed)
+        feed.directory = self.directory
+        feed.width = self.width
+        feed.height = self.height
+        feed.crop = crop
+        feed.files = self.files
+        return feed
+
+
+class PngDirectoryFeed:
+    """PNG frames mapped to the 16-color palette (nearest RGB)."""
+
+    def __init__(self, directory: str, crop: Optional[Rect] = None):
+        self.directory = directory
+        self.crop = crop
+        self.files = _numeric_sort(
+            os.path.join(directory, f)
+            for f in os.listdir(directory)
+            if f.lower().endswith(".png")
+        )
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def read(self, index: int) -> np.ndarray:
+        from PIL import Image
+
+        img = np.asarray(Image.open(self.files[index]).convert("RGB"))
+        out = rgb_to_native(img)
+        if self.crop is not None:
+            c = self.crop
+            out = out[c.top : c.bottom, c.left : c.right]
+        return out
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        for i in range(len(self.files)):
+            yield self.read(i)
+
+    def with_crop(self, crop: Rect) -> "PngDirectoryFeed":
+        feed = PngDirectoryFeed.__new__(PngDirectoryFeed)
+        feed.directory = self.directory
+        feed.crop = crop
+        feed.files = self.files
+        return feed
+
+
+def rgb_to_native(rgb: np.ndarray) -> np.ndarray:
+    """[H, W, 3] uint8 -> nearest palette index (squared-distance)."""
+    pal = palette.NATIVE_TO_RGB.astype(np.int32)  # [16, 3]
+    px = rgb.astype(np.int32)
+    d = ((px[:, :, None, :] - pal[None, None, :, :]) ** 2).sum(-1)
+    return d.argmin(-1).astype(np.uint8)
+
+
+def batches(
+    feed, batch: int
+) -> Iterator[Tuple[List[int], np.ndarray]]:
+    """Yield (frame_numbers, [B, H, W]) chunks from any frame iterator."""
+    nums: List[int] = []
+    imgs: List[np.ndarray] = []
+    for i, img in enumerate(feed):
+        nums.append(i)
+        imgs.append(img)
+        if len(imgs) == batch:
+            yield nums, np.stack(imgs)
+            nums, imgs = [], []
+    if imgs:
+        yield nums, np.stack(imgs)

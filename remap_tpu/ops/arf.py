@@ -1,0 +1,160 @@
+"""Artifact filter device kernels (arf.hpp on TPU).
+
+1. **Pattern heatmaps** (arf.hpp:143-186): along each row (and each
+   column), every 15-pixel window of consecutively *valid* (mask != 0)
+   pixels is a pattern; its global frequency becomes the heat at the
+   window's center.  Device form: nibble-pack each window into 2 uint32
+   words by shifted ORs, validate runs with a sliding all-valid test, sort
+   (key1, key2, position) over the whole image, run-length count, and
+   scatter counts back to center positions.
+2. **Combine** (arf.hpp:188-212): ``1/sqrt((h+v)/2)`` float32; count 0
+   gives +inf, so untagged pixels take the rare path.
+3. **Select** (arf.hpp:255-307): rare pixels (heat > 0.25) take the argmax
+   over a Gaussian depthwise convolution of the vote histograms restricted
+   to colors present at the center; others take the plain argmax.
+   Processed region: rows [margin, H-margin), cols [margin, W-margin-1)
+   (the last processed column of each row is skipped — reference quirk);
+   everything else outputs color 0.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _window_keys(image: jax.Array, mask: jax.Array, size: int):
+    """Per-position packed keys + validity of the size-window ENDING here,
+    along the last axis."""
+    h, w = image.shape
+    img = image.astype(jnp.uint32)
+    # key words: nibbles 0..7 -> k1, 8..14 -> k2 (oldest pixel first)
+    k1 = jnp.zeros((h, w), jnp.uint32)
+    k2 = jnp.zeros((h, w), jnp.uint32)
+    run_ok = jnp.ones((h, w), bool)
+    for j in range(size):
+        # pixel at offset -(size-1)+j within the window
+        shift = size - 1 - j
+        shifted = jnp.pad(img, ((0, 0), (shift, 0)))[:, :w]
+        vshift = jnp.pad(mask != 0, ((0, 0), (shift, 0)))[:, :w]
+        if j < 8:
+            k1 = k1 | (shifted << (4 * j))
+        else:
+            k2 = k2 | (shifted << (4 * (j - 8)))
+        run_ok = run_ok & vshift
+    # windows must fit: x >= size-1
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    run_ok = run_ok & (xs >= size - 1)
+    return k1, k2, run_ok
+
+
+def _heat_axis(image: jax.Array, mask: jax.Array, size: int) -> jax.Array:
+    """Pattern-frequency heat along the last axis (uint32 counts)."""
+    h, w = image.shape
+    n = h * w
+    k1, k2, ok = _window_keys(image, mask, size)
+    sent = jnp.uint32(0xFFFFFFFF)
+    f1 = jnp.where(ok, k1, sent).reshape(-1)
+    f2 = jnp.where(ok, k2, sent).reshape(-1)
+    pos = jnp.arange(n, dtype=jnp.int32)
+
+    s1, s2, spos = jax.lax.sort((f1, f2, pos), num_keys=2)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    neq = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
+    is_start = jnp.concatenate([jnp.ones((1,), bool), neq])
+    run_id = jnp.cumsum(is_start) - 1
+    start_pos = jnp.where(is_start, iota, n)
+    suffix_min = jnp.flip(jax.lax.cummin(jnp.flip(start_pos)))
+    next_start = jnp.concatenate([suffix_min[1:], jnp.full((1,), n, jnp.int32)])
+    run_start = jax.lax.cummax(jnp.where(is_start, iota, 0))
+    run_len = next_start[run_start] - run_start
+
+    valid = ~((s1 == sent) & (s2 == sent))
+    counts = jnp.where(valid, run_len, 0).astype(jnp.uint32)
+    out = jnp.zeros((n,), jnp.uint32).at[spos].set(counts)
+    # window center: size//2 positions before the window end
+    half = size // 2
+    out2 = jnp.pad(out.reshape(h, w), ((0, 0), (0, half)))[:, half:]
+    return out2
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def heatmap(
+    image: jax.Array, mask: jax.Array, size: int = 15
+) -> jax.Array:
+    """Combined rare-pattern heat: 1/sqrt((h+v)/2) (arf.hpp:188-229)."""
+    hor = _heat_axis(image, mask, size)
+    ver = _heat_axis(image.T, mask.T, size).T
+    s = (hor.astype(jnp.float32) + ver.astype(jnp.float32)) / jnp.float32(2.0)
+    return jnp.float32(1.0) / jnp.sqrt(s)
+
+
+def gauss_kernel_np(dev: float) -> np.ndarray:
+    size = int(math.ceil(6.0 * dev)) | 1
+    half = size // 2
+    d = np.float32(2.0 * dev * dev)
+    a = np.float32(1.0) / (np.float32(math.pi) * d)
+    ys = (np.arange(size, dtype=np.float32) - np.float32(half))[:, None]
+    xs = (np.arange(size, dtype=np.float32) - np.float32(half))[None, :]
+    return (a * np.exp(-(ys * ys + xs * xs) / d)).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("dev", "threshold"))
+def select(
+    dots: jax.Array,      # [H, W, 16] uint16
+    heat: jax.Array,      # [H, W] float32
+    dev: float = 2.0,
+    threshold: float = 0.25,
+) -> jax.Array:
+    """Conditional Gaussian-vote color selection (arf.hpp:255-307)."""
+    h, w, depth = dots.shape
+    kernel = gauss_kernel_np(dev)
+    size = kernel.shape[0]
+    margin = size // 2
+
+    dots_f = dots.astype(jnp.float32)
+    # depthwise conv: feature_group_count = 16
+    lhs = dots_f.transpose(2, 0, 1)[None]             # [1, 16, H, W]
+    rhs = jnp.asarray(kernel)[None, None].repeat(depth, axis=0)  # [16,1,s,s]
+    conv = jax.lax.conv_general_dilated(
+        lhs,
+        rhs,
+        window_strides=(1, 1),
+        padding="SAME",
+        feature_group_count=depth,
+    )[0].transpose(1, 2, 0)                           # [H, W, 16]
+
+    present = dots > 0
+    blurred_pick = jnp.argmax(
+        jnp.where(present, conv, 0.0), axis=-1
+    ).astype(jnp.uint8)
+    plain_pick = jnp.argmax(dots, axis=-1).astype(jnp.uint8)
+    pick = jnp.where(heat > threshold, blurred_pick, plain_pick)
+
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    processed = (
+        (ys >= margin)
+        & (ys < h - margin)
+        & (xs >= margin)
+        & (xs < w - margin - 1)   # last column skipped (arf.hpp:278)
+    )
+    return jnp.where(processed, pick, jnp.uint8(0))
+
+
+def filter_fragment(
+    dots: jax.Array,
+    blend_image: jax.Array,
+    blend_mask: jax.Array,
+    size: int = 15,
+    dev: float = 2.0,
+    threshold: float = 0.25,
+) -> jax.Array:
+    """arf::filter minus the final margin crop (arf.hpp:314-328)."""
+    heat = heatmap(blend_image, blend_mask, size)
+    return select(dots, heat, dev, threshold)

@@ -1,0 +1,82 @@
+"""Action-window scan device kernels (aws.hpp on TPU).
+
+Per batch of frames: the persistent {0,1} heatmap is advanced by a
+*cumulative logical AND* over consecutive-frame equality masks — an
+associative scan, so a whole batch of heatmap states materializes in one
+dispatch (replacing the serial AVX2 AND loop, aws.hpp:37-60).  Each
+heatmap state is then connected-component labeled (ops.cc) and reduced to
+the reference's per-frame observables: the winning contour's color, area
+and bbox, where "winning" = minimal ``area * color`` with ties broken by
+first discovery (= smallest component label, which ops.cc makes the
+row-major first pixel — exactly aws.hpp:62-69 + cte's seed order).
+
+The cheap stagnation/acceptance state machine (aws.hpp:110-149) stays on
+the host over these per-frame scalars.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from remap_tpu.ops import cc
+
+
+class BatchScan(NamedTuple):
+    heatmaps: jax.Array   # [B, H, W] uint8 heatmap AFTER each frame
+    color: jax.Array      # [B] int32 winning contour color
+    area: jax.Array       # [B] int32 winning contour area
+    bbox: jax.Array       # [B, 4] int32 (left, top, right, bottom) inclusive
+
+
+def heatmap_scan(
+    prev_frame: jax.Array,   # [H, W] uint8 — frame before this batch
+    frames: jax.Array,       # [B, H, W] uint8
+    heatmap: jax.Array,      # [H, W] uint8 carry
+) -> jax.Array:
+    """[B, H, W] heatmap states after ANDing each consecutive equality."""
+    shifted = jnp.concatenate([prev_frame[None], frames[:-1]], axis=0)
+    eq = (shifted == frames).astype(jnp.uint8)
+    cum = jax.lax.associative_scan(jnp.minimum, eq, axis=0)
+    return cum * heatmap[None]
+
+
+def best_contour(heatmap: jax.Array) -> Tuple[jax.Array, ...]:
+    """(color, area, bbox) of the minimal area*color contour."""
+    h, w = heatmap.shape
+    big = h * w
+    labels = cc.label_components(heatmap)
+    area, _ = cc.component_stats(labels, heatmap)
+    interior = labels < big
+
+    score = jnp.where(
+        interior, area * heatmap.astype(jnp.int32), jnp.int32(2**30)
+    )
+    min_score = score.min()
+    # tie-break: smallest label = first row-major discovery
+    cand = jnp.where(score == min_score, labels, big)
+    best_label = cand.min()
+
+    mask = labels == best_label
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    left = jnp.where(mask, xs, w).min()
+    right = jnp.where(mask, xs, -1).max()
+    top = jnp.where(mask, ys, h).min()
+    bottom = jnp.where(mask, ys, -1).max()
+
+    color = heatmap.reshape(-1)[best_label].astype(jnp.int32)
+    best_area = area.reshape(-1)[best_label]
+    return color, best_area, jnp.stack([left, top, right, bottom])
+
+
+@jax.jit
+def scan_batch(
+    prev_frame: jax.Array, frames: jax.Array, heatmap: jax.Array
+) -> BatchScan:
+    heatmaps = heatmap_scan(prev_frame, frames, heatmap)
+    color, area, bbox = jax.vmap(best_contour)(heatmaps)
+    return BatchScan(heatmaps=heatmaps, color=color, area=area, bbox=bbox)

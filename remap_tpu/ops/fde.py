@@ -1,0 +1,108 @@
+"""Foreground extraction device kernels (fde.hpp on TPU).
+
+For each stored frame of a fragment, against the blended background:
+
+1. equality mask at the frame's blit position (fde.hpp:19-55),
+2. connected components of the *median* image (ops.cc); a component is
+   foreground iff it contains a changed pixel (the predicate gates seeds
+   only, cte.hpp:93-99) and its area is <= frame_area/5 (fde.hpp:94-100),
+3. the foreground mask paints each kept component's exact pixels plus its
+   bbox *excluding the last row/column* (fde.hpp:122-146 treats inclusive
+   bounds as exclusive) — rasterized here with a 2D difference array +
+   prefix sum, which lands exactly on the [top, bottom) x [left, right)
+   quirk.
+
+All steps are batched over frames with vmap.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from remap_tpu.ops import cc
+
+
+def equality_mask(
+    background: jax.Array,  # [HB, WB] uint8
+    frame: jax.Array,       # [H, W] uint8
+    pos: jax.Array,         # [2] int32 (x, y)
+) -> jax.Array:
+    h, w = frame.shape
+    bg = jax.lax.dynamic_slice(background, (pos[1], pos[0]), (h, w))
+    return bg == frame  # True where unchanged
+
+
+def foreground_mask(
+    median: jax.Array,      # [H, W] uint8
+    changed: jax.Array,     # [H, W] bool (equality mask inverted)
+    area_limit: int,
+) -> jax.Array:
+    """[H, W] bool — the fde::mask foreground (True = masked out)."""
+    h, w = median.shape
+    big = h * w
+    labels = cc.label_components(median)
+    flat = labels.reshape(-1)
+    safe = jnp.clip(flat, 0, big - 1)
+    interior = flat < big
+
+    ones = jnp.where(interior, 1, 0)
+    area = jax.ops.segment_sum(ones, safe, num_segments=big)
+    has_changed = (
+        jax.ops.segment_max(
+            jnp.where(interior & changed.reshape(-1), 1, 0),
+            safe,
+            num_segments=big,
+        )
+        > 0
+    )
+
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).reshape(-1)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).reshape(-1)
+    left = jax.ops.segment_min(jnp.where(interior, xs, w), safe, num_segments=big)
+    right = jax.ops.segment_max(jnp.where(interior, xs, -1), safe, num_segments=big)
+    top = jax.ops.segment_min(jnp.where(interior, ys, h), safe, num_segments=big)
+    bottom = jax.ops.segment_max(jnp.where(interior, ys, -1), safe, num_segments=big)
+
+    kept = has_changed & (area <= area_limit) & (area > 0)
+
+    # exact pixels of kept components
+    pix = kept[safe] & interior
+
+    # bbox fills [top, bottom) x [left, right): 2D difference array
+    lab_ids = jnp.arange(big, dtype=jnp.int32)
+    is_root = kept & (area > 0)
+    diff = jnp.zeros((h + 1, w + 1), jnp.int32)
+    upd = jnp.where(is_root, 1, 0)
+    t = jnp.clip(top, 0, h)
+    b_ = jnp.clip(bottom, 0, h)
+    l_ = jnp.clip(left, 0, w)
+    r_ = jnp.clip(right, 0, w)
+    diff = diff.at[t, l_].add(upd)
+    diff = diff.at[t, r_].add(-upd)
+    diff = diff.at[b_, l_].add(-upd)
+    diff = diff.at[b_, r_].add(upd)
+    inside = jnp.cumsum(jnp.cumsum(diff, axis=0), axis=1)[:h, :w] > 0
+
+    return pix.reshape(h, w) | inside
+
+
+@functools.partial(jax.jit, static_argnames=("area_divisor",))
+def extract_batch(
+    background: jax.Array,   # [HB, WB] uint8
+    frames: jax.Array,       # [B, H, W] uint8
+    medians: jax.Array,      # [B, H, W] uint8
+    positions: jax.Array,    # [B, 2] int32
+    area_divisor: int = 5,
+) -> jax.Array:
+    """[B, H, W] uint8 foreground masks (1 = foreground, vote where 0)."""
+    _, h, w = frames.shape
+    limit = (h * w) // area_divisor
+
+    def one(frame, median, pos):
+        eq = equality_mask(background, frame, pos)
+        return foreground_mask(median, ~eq, limit)
+
+    return jax.vmap(one)(frames, medians, positions).astype(jnp.uint8)

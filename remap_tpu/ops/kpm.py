@@ -70,21 +70,41 @@ def _decode_offset(key: jax.Array, w: int, h: int):
     return key // (2 * h) - w, key % (2 * h) - h
 
 
-def _join_offsets(
+def _hash_codes(codes):
+    """64-bit mix of the 4 code words as two uint32 sort keys.
+
+    Equal codes always hash equal; the (vanishingly rare) collisions only
+    group *different* codes into one run, and pairs are verified exactly
+    before voting, so results stay exact.
+    """
+    c = codes.astype(jnp.uint32)
+    h1 = c[..., 0] * jnp.uint32(0x9E3779B1)
+    h1 = (h1 ^ (h1 >> 15)) * jnp.uint32(0x85EBCA77) + c[..., 1]
+    h1 = (h1 ^ (h1 >> 13)) * jnp.uint32(0xC2B2AE3D) + c[..., 2]
+    h1 = h1 ^ (h1 >> 16)
+    h2 = c[..., 3] * jnp.uint32(0x27D4EB2F) + (c[..., 0] ^ (c[..., 1] << 16))
+    h2 = (h2 ^ (h2 >> 15)) * jnp.uint32(0x165667B1) + c[..., 2]
+    h2 = h2 ^ (h2 >> 13)
+    return h1, h2
+
+
+def _join_pairs(
     p_codes, p_pos, p_valid,      # [K,4] u32, [K,2] i32, [K] bool
     c_codes, c_pos, c_sel,
     multiplicity: int,
 ):
     """Enumerate all equal-code (prev, curr) pairs' (dx, dy).
 
-    Sort-merge join: the 2K combined codes are sorted lexicographically
-    (invalid entries get an impossible sentinel code — word3 of a real code
-    is < 2^8); within an equal-code run, prev entries sort before curr via
-    an origin key, so each curr entry's partners are the contiguous run
-    prefix.  Exact as long as no code repeats more than ``multiplicity``
-    times in the prev region (flagged via the third return).
+    Sort-merge join on 64-bit code hashes: the 2K combined entries sort by
+    (hash1, hash2, origin); within a hash run, prev entries precede curr,
+    so each curr entry's candidate partners are the run's prefix.  Each
+    candidate pair is then verified for *exact* 4-word code equality, so
+    hash collisions cannot corrupt votes.  Exact as long as no hash
+    repeats more than ``multiplicity`` times among prev entries (flagged
+    via the last return; collisions only make this more conservative).
 
-    Returns (dx, dy, pair_valid) of shape [2K, M] and overflow [] bool.
+    Returns (prev_row [2K, M], curr_row [2K], pair_valid [2K, M],
+    overflow []): table-row indices of each candidate pair.
     """
     k = p_codes.shape[0]
     m = multiplicity
@@ -92,32 +112,33 @@ def _join_offsets(
 
     codes = jnp.concatenate([p_codes, c_codes])          # [2K, 4]
     validc = jnp.concatenate([p_valid, c_sel])
+    h1, h2 = _hash_codes(codes)
     sent = jnp.uint32(0xFFFFFFFF)
-    words = [jnp.where(validc, codes[:, i], sent) for i in range(4)]
-    origin = jnp.concatenate(
-        [jnp.zeros((k,), jnp.int32), jnp.ones((k,), jnp.int32)]
+    h1 = jnp.where(validc, h1, sent)
+    h2 = jnp.where(validc, h2, sent)
+    # origin in the high bit, row in the low bits: prev (0) sorts first
+    tag = jnp.concatenate(
+        [
+            jnp.arange(k, dtype=jnp.uint32),
+            jnp.arange(k, dtype=jnp.uint32) | jnp.uint32(1 << 31),
+        ]
     )
-    row = jnp.concatenate([jnp.arange(k, dtype=jnp.int32)] * 2)
 
-    sw0, sw1, sw2, sw3, sorg, srow = jax.lax.sort(
-        (words[0], words[1], words[2], words[3], origin, row), num_keys=5
-    )
+    sh1, sh2, stag = jax.lax.sort((h1, h2, tag), num_keys=3)
+    srow = (stag & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    is_curr_row = (stag >> 31) == 1
+
     iota = jnp.arange(n, dtype=jnp.int32)
-    neq = (
-        (sw0[1:] != sw0[:-1])
-        | (sw1[1:] != sw1[:-1])
-        | (sw2[1:] != sw2[:-1])
-        | (sw3[1:] != sw3[:-1])
-    )
+    neq = (sh1[1:] != sh1[:-1]) | (sh2[1:] != sh2[:-1])
     is_start = jnp.concatenate([jnp.ones((1,), bool), neq])
     run_start = jax.lax.cummax(jnp.where(is_start, iota, 0))
 
-    not_sent = sw3 != sent
-    is_prev = (sorg == 0) & not_sent
+    not_sent = ~((sh1 == sent) & (sh2 == sent))
+    is_prev = (~is_curr_row) & not_sent
     pcum_ex = jnp.cumsum(is_prev) - is_prev              # exclusive prefix
     n_prev = pcum_ex - pcum_ex[run_start]                # valid for curr rows
 
-    is_curr = (sorg == 1) & not_sent
+    is_curr = is_curr_row & not_sent
     overflow = jnp.any(is_curr & (n_prev > m))
 
     cand = jnp.clip(run_start[:, None] + jnp.arange(m)[None, :], 0, n - 1)
@@ -125,10 +146,13 @@ def _join_offsets(
     pair_valid = is_curr[:, None] & (
         jnp.arange(m)[None, :] < jnp.minimum(n_prev, m)[:, None]
     )
+    # exact verification: drop hash-collision pairs
+    same = jnp.all(
+        p_codes[prev_row] == c_codes[srow][:, None, :], axis=-1
+    )
+    pair_valid &= same
 
-    dx = p_pos[prev_row, 0] - c_pos[srow, 0][:, None]
-    dy = p_pos[prev_row, 1] - c_pos[srow, 1][:, None]
-    return dx, dy, pair_valid, overflow
+    return prev_row, srow, pair_valid, overflow
 
 
 def _region_votes(
@@ -147,17 +171,28 @@ def _region_votes(
     c_weight = (c_codes[:, 3] >> 4) & 0xF
     c_sel = c_valid & (use_all_weights | (c_weight == 2))  # kpm.hpp:113-116
 
-    dx, dy, pair, overflow = _join_offsets(
+    prev_row, curr_row, pair, overflow = _join_pairs(
         p_codes, p_pos, p_valid, c_codes, c_pos, c_sel, multiplicity
     )
+    dx = p_pos[prev_row, 0] - c_pos[curr_row, 0][:, None]
+    dy = p_pos[prev_row, 1] - c_pos[curr_row, 1][:, None]
     keys = jnp.where(
         pair, _encode_offset(dx, dy, w, h), jnp.int32(sentinel)
     ).reshape(-1)
 
     skeys = jax.lax.sort(keys)
     _, counts = _run_counts(skeys, sentinel)
-    top_counts, top_idx = jax.lax.top_k(counts, region_votes)
-    top_keys = skeys[top_idx]
+
+    # top-k by iterated argmax (k passes beat a sort-based top_k for k=3;
+    # argmax ties pick the first position = smallest key, the canonical
+    # tie-break)
+    def pick(cnts, _):
+        i = jnp.argmax(cnts)
+        return cnts.at[i].set(-1), (skeys[i], cnts[i])
+
+    _, (top_keys, top_counts) = jax.lax.scan(
+        pick, counts, None, length=region_votes
+    )
     return top_keys, top_counts, overflow
 
 

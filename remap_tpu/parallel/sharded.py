@@ -1,0 +1,255 @@
+"""Sharded end-to-end pipeline step (the framework's "training step").
+
+One jitted function takes a batch of clips ``[C, T, H, W]`` and produces
+per-clip match offsets, fragment-break flags, accumulated positions and a
+streaming stitch atlas — the full align+stitch hot path (SURVEY.md §3.3)
+as a single XLA program, shardable over a ``('data', 'space')`` mesh:
+
+- clips shard over ``data`` (batch-DP; BASELINE.json config 3),
+- frame/atlas rows shard over ``space`` (spatial parallelism for high-res
+  captures; XLA inserts halo collective-permutes for window sums and
+  collectives for the region-table reductions — config 5).
+
+Positions come from a segmented prefix sum inside the program
+(``lax.associative_scan`` with a reset monoid), so no host round-trip is
+needed between matching and blitting.  The streaming atlas is a fixed
+window anchored at the running minimum position (long-session stitching
+re-anchors per chunk on the host; pipeline.collect does the exact-canvas
+version).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from remap_tpu.config import PipelineConfig
+from remap_tpu.core.regions import GridLayout, make_layout
+from remap_tpu.ops import atlas as atlas_ops
+from remap_tpu.ops import kpe as kpe_ops
+from remap_tpu.ops import kpm as kpm_ops
+from remap_tpu.ops import tables as table_ops
+
+
+class StepResult(NamedTuple):
+    offsets: jax.Array    # [C, T] int32x2 — offset vs previous frame
+    matched: jax.Array    # [C, T] bool
+    positions: jax.Array  # [C, T, 2] int32 — segmented cumsum of offsets
+    atlas: jax.Array      # [C, AH, AW, 16] uint16 streaming stitch window
+
+
+def segmented_positions(offsets: jax.Array, matched: jax.Array) -> jax.Array:
+    """Positions with reset-to-zero at fragment breaks (frc.hpp:109-115),
+    as an associative scan: combine((p1,r1),(p2,r2)) = (p2 if r2 else
+    p1+p2, r1|r2)."""
+    resets = ~matched  # frame 0 is a break by construction
+    deltas = jnp.where(matched[..., None], offsets, 0)
+
+    def combine(a, b):
+        pa, ra = a
+        pb, rb = b
+        return jnp.where(rb[..., None], pb, pa + pb), ra | rb
+
+    pos, _ = jax.lax.associative_scan(combine, (deltas, resets), axis=1)
+    return pos
+
+
+def make_pipeline_step(
+    layout: GridLayout,
+    cfg: PipelineConfig,
+    atlas_pad: int = 64,
+):
+    """Build the jittable [C, T, H, W] -> StepResult function."""
+    h, w = layout.height, layout.width
+    ah, aw = h + 2 * atlas_pad, w + 2 * atlas_pad
+
+    def step(images: jax.Array) -> StepResult:
+        c, t = images.shape[:2]
+
+        dense = jax.vmap(
+            lambda im: kpe_ops.extract_dense(im, layout)
+        )(images)
+        tabs = jax.vmap(
+            lambda wgt, cod: table_ops.build_tables(
+                wgt, cod, layout, cfg.region_capacity
+            )
+        )(dense.weight, dense.codes)
+
+        prev = jax.tree.map(lambda a: a[:, :-1], tabs)
+        curr = jax.tree.map(lambda a: a[:, 1:], tabs)
+        res = jax.vmap(
+            lambda p, cr: kpm_ops.match_tables(
+                p,
+                cr,
+                layout,
+                weight_switch=cfg.match.weight_switch,
+                region_votes=cfg.match.region_votes,
+                min_active_divisor=cfg.min_active_divisor,
+                runner_up_divisor=cfg.runner_up_divisor,
+                multiplicity=cfg.join_multiplicity,
+            )
+        )(prev, curr)
+
+        offsets = jnp.concatenate(
+            [jnp.zeros((c, 1, 2), jnp.int32), res.offset], axis=1
+        )
+        matched = jnp.concatenate(
+            [jnp.zeros((c, 1), bool), res.ok], axis=1
+        )
+        positions = segmented_positions(offsets, matched)
+
+        # Streaming stitch: anchor at the window center, clamp strays.
+        anchored = jnp.clip(
+            positions + atlas_pad, 0, jnp.array([aw - w, ah - h], jnp.int32)
+        )
+
+        def blit_clip(frames, pos):
+            dots = jnp.zeros((ah, aw, atlas_ops.DEPTH), jnp.uint16)
+
+            def body(dots, inp):
+                frame, p = inp
+                votes = (
+                    frame[..., None] == jnp.arange(16, dtype=jnp.uint8)
+                ).astype(jnp.uint16)
+                cur = jax.lax.dynamic_slice(
+                    dots, (p[1], p[0], 0), (h, w, atlas_ops.DEPTH)
+                )
+                return (
+                    jax.lax.dynamic_update_slice(
+                        dots, cur + votes, (p[1], p[0], 0)
+                    ),
+                    None,
+                )
+
+            dots, _ = jax.lax.scan(body, dots, (frames, pos))
+            return dots
+
+        atlas = jax.vmap(blit_clip)(images, anchored)
+        return StepResult(
+            offsets=offsets, matched=matched, positions=positions, atlas=atlas
+        )
+
+    return step
+
+
+class StreamState(NamedTuple):
+    """Device-resident state carried across streaming batches."""
+
+    dots: jax.Array       # [AH, AW, 16] uint16 stitch window
+    carry: object         # RegionTables of the previous batch's last frame
+    position: jax.Array   # [2] int32 running position
+    started: jax.Array    # [] bool — false before the first frame
+
+
+def make_streaming_step(layout: GridLayout, cfg: PipelineConfig,
+                        atlas_pad: int = 128):
+    """Production streaming primitive: one batch of frames in, offsets out,
+    atlas + matcher state stay on device.
+
+    This is the 100k-frame "long session" path (BASELINE.json config 4):
+    host feeds fixed-size frame batches; the device extracts, matches
+    (including across the batch boundary via the carried last-frame
+    tables), accumulates positions with fragment-break resets, and blits
+    into the resident stitch window.  Only the per-frame offsets/flags
+    return to the host.
+    """
+    h, w = layout.height, layout.width
+    ah, aw = h + 2 * atlas_pad, w + 2 * atlas_pad
+
+    def init_state() -> StreamState:
+        r = layout.region_count
+        k = cfg.region_capacity
+        carry = table_ops.RegionTables(
+            codes=jnp.zeros((1, r, k, 4), jnp.uint32),
+            pos=jnp.zeros((1, r, k, 2), jnp.int32),
+            valid=jnp.zeros((1, r, k), bool),
+            wcounts=jnp.zeros((1, r, 3), jnp.int32),
+            overflow=jnp.zeros((1, r), bool),
+        )
+        return StreamState(
+            dots=jnp.zeros((ah, aw, atlas_ops.DEPTH), jnp.uint16),
+            carry=carry,
+            position=jnp.zeros((2,), jnp.int32),
+            started=jnp.zeros((), bool),
+        )
+
+    def step(images: jax.Array, state: StreamState):
+        t = images.shape[0]
+        dense = kpe_ops.extract_dense(images, layout)
+        tabs = table_ops.build_tables(
+            dense.weight, dense.codes, layout, cfg.region_capacity
+        )
+        prev = jax.tree.map(
+            lambda c, a: jnp.concatenate([c, a[:-1]], axis=0),
+            state.carry, tabs,
+        )
+        res = kpm_ops.match_tables(
+            prev, tabs, layout,
+            weight_switch=cfg.match.weight_switch,
+            region_votes=cfg.match.region_votes,
+            min_active_divisor=cfg.min_active_divisor,
+            runner_up_divisor=cfg.runner_up_divisor,
+            multiplicity=cfg.join_multiplicity,
+        )
+        # the very first frame of the stream never matches
+        matched = res.ok & (state.started | (jnp.arange(t) > 0))
+        offsets = jnp.where(matched[:, None], res.offset, 0)
+
+        # positions: segmented cumsum with resets at breaks
+        # (frc.hpp:109-115), seeded with the carried running position for
+        # frames before the batch's first break.
+        seg = segmented_positions(offsets[None], matched[None])[0]
+        before_break = (jnp.cumsum(~matched) == 0)[:, None]
+        pos = seg + jnp.where(before_break, state.position[None], 0)
+
+        anchored = jnp.clip(
+            pos + atlas_pad, 0, jnp.array([aw - w, ah - h], jnp.int32)
+        )
+
+        def body(dots, inp):
+            frame, p = inp
+            votes = (
+                frame[..., None] == jnp.arange(16, dtype=jnp.uint8)
+            ).astype(jnp.uint16)
+            cur = jax.lax.dynamic_slice(
+                dots, (p[1], p[0], 0), (h, w, atlas_ops.DEPTH)
+            )
+            return (
+                jax.lax.dynamic_update_slice(
+                    dots, cur + votes, (p[1], p[0], 0)
+                ),
+                None,
+            )
+
+        dots, _ = jax.lax.scan(body, state.dots, (images, anchored))
+        new_state = StreamState(
+            dots=dots,
+            carry=jax.tree.map(lambda a: a[-1:], tabs),
+            position=pos[-1],
+            started=jnp.ones((), bool),
+        )
+        return offsets, matched, new_state
+
+    return init_state, step
+
+
+def make_sharded_step(
+    mesh: Mesh,
+    layout: GridLayout,
+    cfg: PipelineConfig,
+    atlas_pad: int = 64,
+):
+    """jit the pipeline step over a ('data', 'space') mesh."""
+    step = make_pipeline_step(layout, cfg, atlas_pad)
+    in_s = NamedSharding(mesh, P("data", None, "space", None))
+    out_s = StepResult(
+        offsets=NamedSharding(mesh, P("data")),
+        matched=NamedSharding(mesh, P("data")),
+        positions=NamedSharding(mesh, P("data")),
+        atlas=NamedSharding(mesh, P("data", "space", None, None)),
+    )
+    return jax.jit(step, in_shardings=in_s, out_shardings=out_s)

@@ -1,0 +1,85 @@
+"""Foreground filtering pass (fdf.hpp on TPU).
+
+Second pass over stored frames: each fragment is blended into a background
+(device argmax, ops.atlas.blend); its frames stream back through the
+device in batches — equality mask, component-gated foreground mask
+(ops.fde), masked vote blit into a fresh fragment canvas of the
+background's dimensions (fdf.hpp:40-75).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from remap_tpu.config import PipelineConfig
+from remap_tpu.ops import atlas as atlas_ops
+from remap_tpu.ops import fde as fde_ops
+from remap_tpu.pipeline.state import Fragment, FrameRef
+
+
+def filter_fragments(
+    fragments: List[Fragment],
+    cfg: PipelineConfig,
+) -> List[Fragment]:
+    results: List[Fragment] = []
+    b = cfg.frame_batch
+
+    for frag in fragments:
+        store = frag.store
+        assert store is not None, "fragment has no frame store"
+        fh, fw = store.height, store.width
+        ch, cw = frag.shape
+
+        dots_dev = jnp.asarray(frag.dots)
+        background, _ = atlas_ops.blend(dots_dev)
+
+        out_dots = jnp.zeros((ch, cw, atlas_ops.DEPTH), jnp.uint16)
+        nums = [r.number for r in frag.frames]
+        poss = [r.position for r in frag.frames]
+
+        for i in range(0, len(nums), b):
+            chunk = nums[i : i + b]
+            cpos = poss[i : i + b]
+            n_real = len(chunk)
+            imgs = store.images_batch(chunk)
+            meds = store.medians_batch(chunk)
+            if n_real < b:
+                pad = b - n_real
+                imgs = np.concatenate([imgs, np.zeros((pad, fh, fw), np.uint8)])
+                meds = np.concatenate([meds, np.zeros((pad, fh, fw), np.uint8)])
+            apos = np.array(
+                [(px - frag.zero[0], py - frag.zero[1]) for px, py in cpos]
+                + [(0, 0)] * (b - n_real),
+                np.int32,
+            )
+            fg = fde_ops.extract_batch(
+                background,
+                jnp.asarray(imgs),
+                jnp.asarray(meds),
+                jnp.asarray(apos),
+                area_divisor=cfg.fde_area_divisor,
+            )
+            # padding frames must vote nowhere
+            if n_real < b:
+                fg = fg.at[n_real:].set(1)
+            out_dots = atlas_ops.blit_frames(
+                jnp.asarray(imgs),
+                jnp.asarray(apos),
+                atlas_h=ch,
+                atlas_w=cw,
+                masks=fg,
+                dots=out_dots,
+            )
+
+        result = Fragment(
+            dots=np.asarray(out_dots),
+            zero=frag.zero,
+            frames=[FrameRef(number=n, position=p) for n, p in zip(nums, poss)],
+            store=store,
+        )
+        results.append(result)
+    return results

@@ -1,0 +1,213 @@
+"""Fragment splicing stage (fgs.hpp on TPU).
+
+Fragments are blended + keypoint-extracted with a whole-image 1x1 grid
+(fgs.hpp:17/80-103, device ops), matched all-pairs with the cellular
+matcher (ops.splice, cell 15x15, fgs.hpp:119-140), then a host greedy loop
+merges the highest-vote pair (ties -> first in snippet order / edge
+insertion order, fgs.hpp:142-163), re-extracts the merged snippet (list
+front), re-matches it against the rest, and repeats until no edges remain.
+
+Canvas merges replay fgm's step-quantized growth exactly (the merged
+canvas size feeds the next extraction's processed bounds).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from remap_tpu.config import PipelineConfig
+from remap_tpu.core.regions import make_layout
+from remap_tpu.ops import atlas as atlas_ops
+from remap_tpu.ops import kpe as kpe_ops
+from remap_tpu.ops import splice as splice_ops
+from remap_tpu.ops import tables as table_ops
+from remap_tpu.pipeline.state import Fragment, FrameRef
+
+_BUCKET = 128
+
+
+def _bucket(n: int) -> int:
+    return ((n + _BUCKET - 1) // _BUCKET) * _BUCKET
+
+
+@dataclasses.dataclass(eq=False)
+class _Edge:
+    primary: bool
+    offset: Tuple[int, int]
+    count: int
+    other: "_Snippet"
+
+
+@dataclasses.dataclass(eq=False)
+class _Snippet:
+    fragment: Fragment
+    mask_bucket: np.ndarray          # [HB, WB] uint8 zero-padded blend mask
+    dims: Tuple[int, int]            # (w, h) true canvas dims
+    codes: np.ndarray                # [K, 4] uint32
+    pos: np.ndarray                  # [K, 2] int32
+    valid: np.ndarray                # [K] bool
+    edges: List[_Edge] = dataclasses.field(default_factory=list)
+
+
+def _extract_snippet(frag: Fragment, cfg: PipelineConfig) -> _Snippet:
+    ch, cw = frag.shape
+    dots = jnp.asarray(frag.dots)
+    image, mask = atlas_ops.blend(dots)
+
+    layout = make_layout(cw, ch, 1, 1, 0)
+    dense = kpe_ops.extract_dense(image[None], layout)
+    tabs = table_ops.extract_tables(
+        dense.weight, dense.codes, layout, cfg.splice_capacity
+    )
+
+    hb, wb = _bucket(ch), _bucket(cw)
+    mask_np = np.zeros((hb, wb), np.uint8)
+    mask_np[:ch, :cw] = np.asarray(mask)
+
+    return _Snippet(
+        fragment=frag,
+        mask_bucket=mask_np,
+        dims=(cw, ch),
+        codes=np.asarray(tabs.codes[0, 0]),
+        pos=np.asarray(tabs.pos[0, 0]),
+        valid=np.asarray(tabs.valid[0, 0]),
+    )
+
+
+def _match(
+    head: _Snippet, other: _Snippet, cfg: PipelineConfig
+) -> Optional[Tuple[Tuple[int, int], int]]:
+    res = splice_ops.match_fragments(
+        jnp.asarray(head.codes),
+        jnp.asarray(head.pos),
+        jnp.asarray(head.valid),
+        jnp.asarray(other.codes),
+        jnp.asarray(other.pos),
+        jnp.asarray(other.valid),
+        jnp.asarray(head.mask_bucket),
+        jnp.asarray(np.array(head.dims, np.int32)),
+        jnp.asarray(np.array(other.dims, np.int32)),
+        cell_w=cfg.splice_cell[0],
+        cell_h=cfg.splice_cell[1],
+        ratio=cfg.splice_cell_ratio,
+        multiplicity=cfg.join_multiplicity,
+    )
+    if not bool(res.ok):
+        return None
+    off = tuple(int(v) for v in np.asarray(res.offset))
+    return off, int(res.count)
+
+
+def _match_partial(
+    head: _Snippet, rest: List[_Snippet], cfg: PipelineConfig
+) -> None:
+    for other in rest:
+        vote = _match(head, other, cfg)
+        if vote is not None:
+            off, count = vote
+            head.edges.append(_Edge(True, off, count, other))
+            other.edges.append(
+                _Edge(False, (-off[0], -off[1]), count, head)
+            )
+
+
+def _unbind(snippet: _Snippet) -> None:
+    for e in snippet.edges:
+        e.other.edges = [x for x in e.other.edges if x.other is not snippet]
+    snippet.edges = []
+
+
+def merge_fragments(
+    left: Fragment, right: Fragment, offset: Tuple[int, int],
+    step: Tuple[int, int],
+) -> Fragment:
+    """fgm::fragment::blit(zero + offset, other) + normalize
+    (fgs.hpp:165-183, fgm.hpp:99-113,190-233): histogram-add the right
+    canvas into the left at ``left.zero + offset`` with step-quantized
+    growth, remap the right's frame records."""
+    pos = (left.zero[0] + offset[0], left.zero[1] + offset[1])
+    rh, rw = right.shape
+    lh, lw = left.shape
+
+    def round_step(change: int, s: int) -> int:
+        rest = change % s
+        return change - rest + (s if rest else 0)
+
+    zx, zy = left.zero
+    grow_l = round_step(zx - pos[0], step[0]) if pos[0] < zx else 0
+    grow_r = (
+        round_step(pos[0] + rw - (zx + lw), step[0])
+        if pos[0] + rw > zx + lw
+        else 0
+    )
+    grow_t = round_step(zy - pos[1], step[1]) if pos[1] < zy else 0
+    grow_b = (
+        round_step(pos[1] + rh - (zy + lh), step[1])
+        if pos[1] + rh > zy + lh
+        else 0
+    )
+    dots = np.pad(left.dots, ((grow_t, grow_b), (grow_l, grow_r), (0, 0)))
+    zero = (zx - grow_l, zy - grow_t)
+    ax, ay = pos[0] - zero[0], pos[1] - zero[1]
+    view = dots[ay : ay + rh, ax : ax + rw]
+    np.add(view, right.dots, out=view)
+
+    frames = [FrameRef(f.number, f.position) for f in left.frames]
+    for f in right.frames:
+        frames.append(
+            FrameRef(
+                f.number,
+                (
+                    f.position[0] - right.zero[0] + pos[0],
+                    f.position[1] - right.zero[1] + pos[1],
+                ),
+            )
+        )
+    merged = Fragment(dots=dots, zero=zero, frames=frames, store=left.store)
+    merged.normalize()
+    return merged
+
+
+def splice(
+    fragments: List[Fragment],
+    cfg: PipelineConfig,
+    frame_dims: Optional[Tuple[int, int]] = None,
+) -> List[Fragment]:
+    """frame_dims = (width, height) — the growth step (frc fragments carry
+    step = frame dims, fgm.hpp:49-52)."""
+    if not fragments:
+        return []
+    if frame_dims is None:
+        assert fragments[0].store is not None
+        frame_dims = (fragments[0].store.width, fragments[0].store.height)
+
+    snippets = [_extract_snippet(f, cfg) for f in fragments]
+    for i in range(len(snippets)):
+        _match_partial(snippets[i], snippets[i + 1 :], cfg)
+
+    while True:
+        best: Optional[Tuple[_Snippet, _Edge]] = None
+        for s in snippets:
+            for e in s.edges:
+                if e.primary and (best is None or e.count > best[1].count):
+                    best = (s, e)
+        if best is None:
+            break
+        left, edge = best
+        right = edge.other
+
+        merged_frag = merge_fragments(
+            left.fragment, right.fragment, edge.offset, frame_dims
+        )
+        _unbind(right)
+        _unbind(left)
+        snippets = [s for s in snippets if s is not left and s is not right]
+        merged = _extract_snippet(merged_frag, cfg)
+        snippets.insert(0, merged)
+        _match_partial(snippets[0], snippets[1:], cfg)
+
+    return [s.fragment for s in snippets]

@@ -1,0 +1,96 @@
+"""Action-window scan stage (aws.hpp:98-156 on TPU).
+
+Frames stream through ops.aws.scan_batch in device batches; the host runs
+the tiny growth/stagnation/acceptance state machine over the per-frame
+scalars it gets back (color, area, bbox):
+
+- a changed (color-0) winning contour that grew resets stagnation and
+  updates the tracked window (aws.hpp:129-139),
+- the window is accepted once ``area > screen/3``, bbox height > 2H/5 and
+  width > 2W/3 (inclusive-coordinate differences, i.e. real size minus 1),
+- the scan stops after ``stagnation_limit`` stagnant frames once a window
+  is accepted (aws.hpp:118-144).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from remap_tpu.config import PipelineConfig
+from remap_tpu.core.geometry import Rect
+from remap_tpu.ops import aws as aws_ops
+from remap_tpu.spec.aws import WindowInfo
+
+
+def scan(
+    frames: Iterable[np.ndarray],
+    cfg: PipelineConfig,
+) -> Optional[WindowInfo]:
+    it = iter(frames)
+    first = next(it, None)
+    if first is None:
+        return None
+    h, w = first.shape
+
+    min_area = (w * h) // cfg.aws_min_area_divisor
+    min_height = cfg.aws_min_height_num * h // cfg.aws_min_height_den
+    min_width = cfg.aws_min_width_num * w // cfg.aws_min_width_den
+
+    heatmap = jnp.ones((h, w), jnp.uint8)
+    prev = jnp.asarray(first)
+
+    result: Optional[Rect] = None
+    area = 0
+    stagnation = 0
+    b = cfg.frame_batch
+
+    done = False
+    while not done:
+        batch = []
+        while len(batch) < b:
+            nxt = next(it, None)
+            if nxt is None:
+                done = True
+                break
+            batch.append(nxt)
+        if not batch:
+            break
+        n_real = len(batch)
+        padded = batch + [batch[-1]] * (b - n_real)
+        res = aws_ops.scan_batch(prev, jnp.asarray(np.stack(padded)), heatmap)
+        colors = np.asarray(res.color)[:n_real]
+        areas = np.asarray(res.area)[:n_real]
+        bboxes = np.asarray(res.bbox)[:n_real]
+
+        for i in range(n_real):
+            if stagnation > cfg.aws_stagnation_limit:
+                done = True
+                break
+            if colors[i] == 0 and areas[i] > area:
+                stagnation = 0
+                area = int(areas[i])
+                window = Rect(
+                    left=int(bboxes[i, 0]),
+                    top=int(bboxes[i, 1]),
+                    right=int(bboxes[i, 2]),
+                    bottom=int(bboxes[i, 3]),
+                )
+                if result is not None or (
+                    area > min_area
+                    and window.height > min_height
+                    and window.width > min_width
+                ):
+                    result = window
+            if result is not None:
+                stagnation += 1
+
+        heatmap = res.heatmaps[n_real - 1]
+        prev = jnp.asarray(batch[n_real - 1])
+
+    if result is None:
+        return None
+    return WindowInfo(raw_bounds=result)

@@ -21,3 +21,7 @@ if "host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+from remap_tpu.utils.runtime import setup_cache  # noqa: E402
+
+setup_cache("/root/jax_cache_cpu")

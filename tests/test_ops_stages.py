@@ -1,0 +1,121 @@
+"""Device aws/fde kernels + window/foreground stages vs the NumPy spec."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from remap_tpu.config import PipelineConfig
+from remap_tpu.ops import aws as jaws
+from remap_tpu.ops import cc as jcc
+from remap_tpu.ops import fde as jfde
+from remap_tpu.pipeline import window as jwindow
+from remap_tpu.spec import aws as saws
+from remap_tpu.spec import cte as scte
+from remap_tpu.spec import fde as sfde
+from remap_tpu.utils import testing
+
+CFG = PipelineConfig(frame_batch=16)
+
+
+def test_cc_labels_match_spec():
+    rng = np.random.default_rng(61)
+    img = rng.integers(0, 4, size=(40, 50), dtype=np.uint8)
+    jl = np.asarray(jcc.label_components(jnp.asarray(img)))
+    sl = scte.label_components(img)
+    # same partition: spec labels are discovery-ordered; device labels are
+    # row-major-first flat indices.  Compare as partitions + root property.
+    h, w = img.shape
+    big = h * w
+    assert (jl[0] == big).all() and (jl[:, 0] == big).all()
+    for lab in np.unique(sl):
+        if lab == 0:
+            continue
+        mask = sl == lab
+        jvals = np.unique(jl[mask])
+        assert len(jvals) == 1
+        # device label == flat index of the component's first pixel
+        ys, xs = np.nonzero(mask)
+        first = ys[0] * w + xs[0]
+        assert jvals[0] == first
+
+
+def test_best_contour_matches_spec():
+    rng = np.random.default_rng(63)
+    heat = (rng.random((30, 40)) < 0.8).astype(np.uint8)
+    color, area, bbox = (
+        np.asarray(x) for x in jaws.best_contour(jnp.asarray(heat))
+    )
+    contours = scte.extract(heat).contours
+    best = min(contours, key=lambda c: c.area * c.color)
+    assert color == best.color
+    assert area == best.area
+    assert tuple(bbox) == (
+        best.bbox.left, best.bbox.top, best.bbox.right, best.bbox.bottom,
+    )
+
+
+def test_window_scan_matches_spec():
+    clip = testing.simple_clip(
+        n_frames=40,
+        frame_hw=(72, 96),
+        world_hw=(200, 260),
+        seed=7,
+        hud_rows=8,
+        border=4,
+        max_step=4,
+    )
+    swin = saws.scan(iter(clip.frames))
+    jwin = jwindow.scan(iter(clip.frames), CFG)
+    assert swin is not None and jwin is not None
+    assert swin.raw_bounds == jwin.raw_bounds
+
+
+def test_window_scan_none_for_static():
+    frames = [np.full((40, 60), 7, np.uint8) for _ in range(20)]
+    assert jwindow.scan(iter(frames), CFG) is None
+
+
+def test_foreground_mask_matches_spec():
+    rng = np.random.default_rng(67)
+    world = testing.make_world(120, 160, rng)
+    bg = world[10:90, 10:130]            # 80x120 background
+    frame = world[20:68, 30:94].copy()   # 48x64 at pos (20, 10) in bg
+    frame[12:20, 30:38] = 3              # a sprite blob
+    # a fake median: smoothed-ish (use frame itself; components of frame)
+    median = frame.copy()
+    pos = (20, 10)
+
+    cres, kept = sfde.extract(bg, frame, median, pos)
+    smask = sfde.foreground_mask(cres, kept, frame.shape)
+
+    jmask = np.asarray(
+        jfde.extract_batch(
+            jnp.asarray(bg),
+            jnp.asarray(frame[None]),
+            jnp.asarray(median[None]),
+            jnp.asarray(np.array([pos], np.int32)),
+        )[0]
+    )
+    np.testing.assert_array_equal(jmask, smask)
+    assert smask.sum() > 0
+
+
+def test_foreground_area_limit():
+    # a change covering most of the frame must be dropped (> 1/5 area)
+    bg = np.zeros((60, 80), np.uint8)
+    frame = np.zeros((40, 60), np.uint8)
+    frame[5:35, 5:55] = 9   # huge blob, area 1500 > 480
+    median = frame.copy()
+    jmask = np.asarray(
+        jfde.extract_batch(
+            jnp.asarray(bg),
+            jnp.asarray(frame[None]),
+            jnp.asarray(median[None]),
+            jnp.asarray(np.array([(2, 2)], np.int32)),
+        )[0]
+    )
+    cres, kept = sfde.extract(bg, frame, median, (2, 2))
+    smask = sfde.foreground_mask(cres, kept, frame.shape)
+    np.testing.assert_array_equal(jmask, smask)
+    # the big blob itself is dropped...
+    assert jmask[20, 30] == 0
