@@ -95,6 +95,11 @@ class PipelineConfig:
     # --- atlas (fgm) ----------------------------------------------------
     palette_depth: int = 16             # fgm.hpp:12
 
+    # --- model family (alignment engine) --------------------------------
+    #: "grid_vote" (reference-parity keypoint voting), "xcorr" (dense FFT
+    #: correlation) or "pyramid" (coarse-to-fine xcorr for high-res).
+    matcher: str = "grid_vote"
+
     # --- TPU execution parameters (new design surface) ------------------
     #: Fixed per-region keypoint-table capacity for frame matching.  The
     #: reference's hash maps are unbounded (kpr.hpp:105-110); we use static

@@ -88,27 +88,32 @@ def _hash_codes(codes):
     return h1, h2
 
 
-def _join_pairs(
+def _join_rolled(
     p_codes, p_pos, p_valid,      # [K,4] u32, [K,2] i32, [K] bool
     c_codes, c_pos, c_sel,
     multiplicity: int,
+    max_run: int,
 ):
-    """Enumerate all equal-code (prev, curr) pairs' (dx, dy).
+    """Enumerate equal-code (prev, curr) pair offsets, gather-free.
 
-    Sort-merge join on 64-bit code hashes: the 2K combined entries sort by
-    (hash1, hash2, origin); within a hash run, prev entries precede curr,
-    so each curr entry's candidate partners are the run's prefix.  Each
-    candidate pair is then verified for *exact* 4-word code equality, so
-    hash collisions cannot corrupt votes.  Exact as long as no hash
-    repeats more than ``multiplicity`` times among prev entries (flagged
-    via the last return; collisions only make this more conservative).
+    Sort-merge join on 64-bit code hashes with every per-entry attribute
+    (positions + the 4 code words) riding the sort as payload operands.
+    Within a hash run, prev entries precede curr (origin bit in the tag
+    key), so a curr entry's partners sit at small *backward distances* —
+    enumerated with ``max_run`` fixed rolls and masks instead of gathers
+    (TPU gathers are ~15ns/element on this target; rolls are bandwidth).
+    Code equality is verified exactly via rolled comparison, so hash
+    collisions cannot corrupt votes.
 
-    Returns (prev_row [2K, M], curr_row [2K], pair_valid [2K, M],
-    overflow []): table-row indices of each candidate pair.
+    Exact as long as each curr entry's backward distance to its run start
+    is <= max_run and no code repeats more than ``multiplicity`` times in
+    prev — both flagged in ``overflow`` (callers re-run a bigger config).
+
+    Returns (dx [2K, S], dy [2K, S], pair_valid [2K, S], overflow []).
     """
     k = p_codes.shape[0]
-    m = multiplicity
     n = 2 * k
+    m = multiplicity
 
     codes = jnp.concatenate([p_codes, c_codes])          # [2K, 4]
     validc = jnp.concatenate([p_valid, c_sel])
@@ -116,43 +121,72 @@ def _join_pairs(
     sent = jnp.uint32(0xFFFFFFFF)
     h1 = jnp.where(validc, h1, sent)
     h2 = jnp.where(validc, h2, sent)
-    # origin in the high bit, row in the low bits: prev (0) sorts first
     tag = jnp.concatenate(
         [
-            jnp.arange(k, dtype=jnp.uint32),
-            jnp.arange(k, dtype=jnp.uint32) | jnp.uint32(1 << 31),
+            jnp.zeros((k,), jnp.uint32),
+            jnp.full((k,), 1 << 31, jnp.uint32),
         ]
     )
+    px = jnp.concatenate([p_pos[:, 0], c_pos[:, 0]])
+    py = jnp.concatenate([p_pos[:, 1], c_pos[:, 1]])
 
-    sh1, sh2, stag = jax.lax.sort((h1, h2, tag), num_keys=3)
-    srow = (stag & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    sh1, sh2, stag, spx, spy, c0, c1, c2, c3 = jax.lax.sort(
+        (h1, h2, tag, px, py,
+         codes[:, 0], codes[:, 1], codes[:, 2], codes[:, 3]),
+        num_keys=3,
+    )
     is_curr_row = (stag >> 31) == 1
+    not_sent = ~((sh1 == sent) & (sh2 == sent))
+    is_prev = (~is_curr_row) & not_sent
+    is_curr = is_curr_row & not_sent
 
     iota = jnp.arange(n, dtype=jnp.int32)
     neq = (sh1[1:] != sh1[:-1]) | (sh2[1:] != sh2[:-1])
     is_start = jnp.concatenate([jnp.ones((1,), bool), neq])
+    rid = jnp.cumsum(is_start)
     run_start = jax.lax.cummax(jnp.where(is_start, iota, 0))
+    d = iota - run_start                                  # distance to start
 
-    not_sent = ~((sh1 == sent) & (sh2 == sent))
-    is_prev = (~is_curr_row) & not_sent
-    pcum_ex = jnp.cumsum(is_prev) - is_prev              # exclusive prefix
-    n_prev = pcum_ex - pcum_ex[run_start]                # valid for curr rows
+    # prev count of the run, gather-free: carry pcum_ex at run starts
+    pcum_ex = jnp.cumsum(is_prev) - is_prev
+    start_val = jax.lax.cummax(jnp.where(is_start, pcum_ex, -1))
+    n_prev = pcum_ex - start_val                          # for curr rows
 
-    is_curr = is_curr_row & not_sent
-    overflow = jnp.any(is_curr & (n_prev > m))
+    overflow = jnp.any(is_curr & (n_prev > 0) & (d > max_run))
+    overflow |= jnp.any(is_curr & (n_prev > m))
 
-    cand = jnp.clip(run_start[:, None] + jnp.arange(m)[None, :], 0, n - 1)
-    prev_row = srow[cand]                                # [2K, M]
-    pair_valid = is_curr[:, None] & (
-        jnp.arange(m)[None, :] < jnp.minimum(n_prev, m)[:, None]
-    )
-    # exact verification: drop hash-collision pairs
-    same = jnp.all(
-        p_codes[prev_row] == c_codes[srow][:, None, :], axis=-1
-    )
-    pair_valid &= same
+    def shifted(a, s):
+        return jnp.concatenate([a[:1].repeat(s), a[:-s]]) if s else a
 
-    return prev_row, srow, pair_valid, overflow
+    dxs, dys, valids = [], [], []
+    for s in range(1, max_run + 1):
+        same_run = rid == shifted(rid, s)
+        partner_prev = shifted(is_prev, s)
+        # partner rank within run = d - s; enforce rank < multiplicity
+        ok = (
+            is_curr
+            & partner_prev
+            & same_run
+            & (d - s < m)
+            & (s <= d)
+        )
+        same_code = (
+            (shifted(c0, s) == c0)
+            & (shifted(c1, s) == c1)
+            & (shifted(c2, s) == c2)
+            & (shifted(c3, s) == c3)
+        )
+        ok &= same_code
+        dxs.append(shifted(spx, s) - spx)
+        dys.append(shifted(spy, s) - spy)
+        valids.append(ok)
+
+    dx = jnp.stack(dxs, axis=1)
+    dy = jnp.stack(dys, axis=1)
+    pair = jnp.stack(valids, axis=1)
+    # spx/spy are each sorted row's own (curr-side) coordinates; a pair's
+    # prev-side coordinate is spx + dx (used by the cellular matcher).
+    return dx, dy, pair, overflow, spx, spy
 
 
 def _region_votes(
@@ -171,11 +205,10 @@ def _region_votes(
     c_weight = (c_codes[:, 3] >> 4) & 0xF
     c_sel = c_valid & (use_all_weights | (c_weight == 2))  # kpm.hpp:113-116
 
-    prev_row, curr_row, pair, overflow = _join_pairs(
-        p_codes, p_pos, p_valid, c_codes, c_pos, c_sel, multiplicity
-    )
-    dx = p_pos[prev_row, 0] - c_pos[curr_row, 0][:, None]
-    dy = p_pos[prev_row, 1] - c_pos[curr_row, 1][:, None]
+    dx, dy, pair, overflow = _join_rolled(
+        p_codes, p_pos, p_valid, c_codes, c_pos, c_sel,
+        multiplicity, max_run=2 * multiplicity,
+    )[:4]
     keys = jnp.where(
         pair, _encode_offset(dx, dy, w, h), jnp.int32(sentinel)
     ).reshape(-1)

@@ -24,7 +24,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from remap_tpu.ops.kpm import _join_pairs
+from remap_tpu.ops.kpm import _join_rolled
 
 
 class CellMatch(NamedTuple):
@@ -49,25 +49,18 @@ def match_fragments(
     multiplicity: int = 8,
 ) -> CellMatch:
     hb, wb = p_mask.shape
-    k = p_codes.shape[0]
 
-    prev_row, curr_row, pair, overflow = _join_pairs(
-        p_codes, p_pos, p_valid, c_codes, c_pos, c_valid, multiplicity
+    dx, dy, pair, overflow, scx, scy = _join_rolled(
+        p_codes, p_pos, p_valid, c_codes, c_pos, c_valid,
+        multiplicity, max_run=2 * multiplicity,
     )
-    m = prev_row.shape[1]
-
-    px = p_pos[prev_row, 0]
-    py = p_pos[prev_row, 1]
-    cx = c_pos[curr_row, 0][:, None]
-    cy = c_pos[curr_row, 1][:, None]
-    dx = px - cx
-    dy = py - cy
 
     o_sent = jnp.int32(4 * wb * hb)
     okey = jnp.where(pair, (dx + wb) * (2 * hb) + (dy + hb), o_sent)
-    # cell of a pair: (min(px,cx)//cw, min(py,cy)//ch) (kpm.hpp:225-247)
-    cellx = jnp.minimum(px, cx) // cell_w
-    celly = jnp.minimum(py, cy) // cell_h
+    # cell of a pair: (min(px,cx)//cw, min(py,cy)//ch) (kpm.hpp:225-247);
+    # px = cx + dx, py = cy + dy
+    cellx = jnp.minimum(scx[:, None] + dx, scx[:, None]) // cell_w
+    celly = jnp.minimum(scy[:, None] + dy, scy[:, None]) // cell_h
     ckey = cellx * (hb // cell_h + 2) + celly
 
     so, sc = jax.lax.sort(

@@ -55,30 +55,51 @@ class CollectResult:
 
 
 def make_collect_step(layout: GridLayout, cfg: PipelineConfig):
-    """Build the jitted pass-1 step for a fixed layout/config."""
+    """Build the jitted pass-1 step for a fixed layout/config.
+
+    ``carry`` holds the previous batch's last frame state: the keypoint
+    tables (grid_vote) plus the raw frame (frame-based matcher families).
+    """
+    frame_matcher = None
+    if cfg.matcher != "grid_vote":
+        from remap_tpu import models
+
+        frame_matcher = models.get_matcher(cfg.matcher, cfg)
 
     @jax.jit
-    def step(images: jax.Array, carry: table_ops.RegionTables):
+    def step(images: jax.Array, carry):
+        carry_tabs, carry_frame = carry
         dense = kpe_ops.extract_dense(images, layout)
         tabs = table_ops.build_tables(
             dense.weight, dense.codes, layout, cfg.region_capacity
         )
-        prev = jax.tree.map(
-            lambda c, t: jnp.concatenate([c, t[:-1]], axis=0), carry, tabs
+        if frame_matcher is None:
+            prev = jax.tree.map(
+                lambda c, t: jnp.concatenate([c, t[:-1]], axis=0),
+                carry_tabs,
+                tabs,
+            )
+            res = kpm_ops.match_tables(
+                prev,
+                tabs,
+                layout,
+                weight_switch=cfg.match.weight_switch,
+                region_votes=cfg.match.region_votes,
+                min_active_divisor=cfg.min_active_divisor,
+                runner_up_divisor=cfg.runner_up_divisor,
+                multiplicity=cfg.join_multiplicity,
+            )
+            offset, ok, overflow = res.offset, res.ok, res.overflow
+            overflow = tabs.overflow.any(axis=-1) | overflow
+        else:
+            prev_frames = jnp.concatenate([carry_frame, images[:-1]], axis=0)
+            offset, ok = frame_matcher(prev_frames, images)
+            overflow = jnp.zeros((images.shape[0],), bool)
+        new_carry = (
+            jax.tree.map(lambda t: t[-1:], tabs),
+            images[-1:],
         )
-        res = kpm_ops.match_tables(
-            prev,
-            tabs,
-            layout,
-            weight_switch=cfg.match.weight_switch,
-            region_votes=cfg.match.region_votes,
-            min_active_divisor=cfg.min_active_divisor,
-            runner_up_divisor=cfg.runner_up_divisor,
-            multiplicity=cfg.join_multiplicity,
-        )
-        new_carry = jax.tree.map(lambda t: t[-1:], tabs)
-        overflow = tabs.overflow.any(axis=-1) | res.overflow
-        return dense.median, res.offset, res.ok, overflow, new_carry
+        return dense.median, offset, ok, overflow, new_carry
 
     return step
 
@@ -107,7 +128,10 @@ def match_pass(
     offsets: List[np.ndarray] = []
     matched: List[np.ndarray] = []
     overflow = 0
-    carry = _empty_carry(layout, cfg.region_capacity)
+    carry = (
+        _empty_carry(layout, cfg.region_capacity),
+        jnp.zeros((1, layout.height, layout.width), jnp.uint8),
+    )
 
     it = iter(frames)
     batch: List[np.ndarray] = []

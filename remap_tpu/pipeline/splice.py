@@ -81,21 +81,30 @@ def _extract_snippet(frag: Fragment, cfg: PipelineConfig) -> _Snippet:
 def _match(
     head: _Snippet, other: _Snippet, cfg: PipelineConfig
 ) -> Optional[Tuple[Tuple[int, int], int]]:
-    res = splice_ops.match_fragments(
-        jnp.asarray(head.codes),
-        jnp.asarray(head.pos),
-        jnp.asarray(head.valid),
-        jnp.asarray(other.codes),
-        jnp.asarray(other.pos),
-        jnp.asarray(other.valid),
-        jnp.asarray(head.mask_bucket),
-        jnp.asarray(np.array(head.dims, np.int32)),
-        jnp.asarray(np.array(other.dims, np.int32)),
-        cell_w=cfg.splice_cell[0],
-        cell_h=cfg.splice_cell[1],
-        ratio=cfg.splice_cell_ratio,
-        multiplicity=cfg.join_multiplicity,
-    )
+    mult = cfg.join_multiplicity
+    while True:
+        res = splice_ops.match_fragments(
+            jnp.asarray(head.codes),
+            jnp.asarray(head.pos),
+            jnp.asarray(head.valid),
+            jnp.asarray(other.codes),
+            jnp.asarray(other.pos),
+            jnp.asarray(other.valid),
+            jnp.asarray(head.mask_bucket),
+            jnp.asarray(np.array(head.dims, np.int32)),
+            jnp.asarray(np.array(other.dims, np.int32)),
+            cell_w=cfg.splice_cell[0],
+            cell_h=cfg.splice_cell[1],
+            ratio=cfg.splice_cell_ratio,
+            multiplicity=mult,
+        )
+        # blended fragments repeat tile patterns heavily; escalate the
+        # join multiplicity until the enumeration is exhaustive
+        if not bool(res.overflow) and mult <= cfg.splice_capacity:
+            break
+        if mult > cfg.splice_capacity:
+            break
+        mult *= 4
     if not bool(res.ok):
         return None
     off = tuple(int(v) for v in np.asarray(res.offset))
