@@ -104,13 +104,13 @@ class PipelineConfig:
     #: Fixed per-region keypoint-table capacity for frame matching.  The
     #: reference's hash maps are unbounded (kpr.hpp:105-110); we use static
     #: tables and report overflow so callers can re-run with more capacity.
-    region_capacity: int = 128
+    region_capacity: int = 512
     #: Capacity of the single whole-image region used in fragment splicing
     #: (fgs uses a 1x1 grid, fgs.hpp:17).
     splice_capacity: int = 2048
     #: Max same-code multiplicity handled exactly by the sort-merge join
     #: in the matcher (overflow is flagged; raise for pathological inputs).
-    join_multiplicity: int = 8
+    join_multiplicity: int = 4
     #: Frames per device dispatch in the batched collect path.
     frame_batch: int = 128
     #: Atlas dimensions are rounded up to multiples of this to bound the

@@ -250,8 +250,14 @@ def collect(
     frames: Iterable[np.ndarray],
     cfg: PipelineConfig,
     layout: Optional[GridLayout] = None,
+    strict: bool = True,
 ) -> CollectResult:
-    """Full collect stage: returns normalized fragments (frc.hpp:74-80)."""
+    """Full collect stage: returns normalized fragments (frc.hpp:74-80).
+
+    With ``strict`` (default), a pass that hits table-capacity or
+    join-multiplicity overflow re-runs with doubled limits until the
+    results are provably exhaustive (fast defaults, guaranteed-exact
+    results)."""
     frames = iter(frames)
     first = next(frames, None)
     if first is None:
@@ -269,6 +275,15 @@ def collect(
         yield from frames
 
     offsets, matched, overflow = match_pass(chain(), layout, cfg, store)
+    while strict and overflow > 0 and cfg.region_capacity <= 1 << 15:
+        cfg = dataclasses.replace(
+            cfg,
+            region_capacity=cfg.region_capacity * 2,
+            join_multiplicity=cfg.join_multiplicity * 2,
+        )
+        replay = (store.image(i) for i in range(len(store)))
+        offsets, matched, overflow = match_pass(replay, layout, cfg, None)
+
     segments = segment_positions(offsets, matched)
     fragments = blit_pass(segments, store, cfg)
     return CollectResult(

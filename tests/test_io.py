@@ -1,0 +1,96 @@
+"""IO layer: feeds, PNG, codec backends, checkpoints."""
+
+import os
+
+import numpy as np
+import pytest
+
+from remap_tpu.core import palette
+from remap_tpu.io import codec, frames as frames_io, png as png_io
+from remap_tpu.spec import nic
+
+
+def test_raw_feed_numeric_order_and_crop(tmp_path):
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 16, size=(20, 30), dtype=np.uint8) for _ in range(12)]
+    # shuffled names: 0..11 written as 10, 9, ... ensures stoi ordering
+    for i, img in enumerate(imgs):
+        img.tofile(tmp_path / str(i))
+    feed = frames_io.RawDirectoryFeed(str(tmp_path), 30, 20)
+    got = list(feed)
+    assert len(got) == 12
+    for a, b in zip(got, imgs):
+        np.testing.assert_array_equal(a, b)
+
+    from remap_tpu.core.geometry import Rect
+
+    cropped = feed.with_crop(Rect(left=2, top=3, right=28, bottom=18))
+    c0 = next(iter(cropped))
+    np.testing.assert_array_equal(c0, imgs[0][3:18, 2:28])
+
+
+def test_raw_feed_short_file_blank(tmp_path):
+    (tmp_path / "0").write_bytes(b"\x01\x02")
+    feed = frames_io.RawDirectoryFeed(str(tmp_path), 10, 8)
+    np.testing.assert_array_equal(feed.read(0), np.zeros((8, 10), np.uint8))
+
+
+def test_png_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 16, size=(15, 21), dtype=np.uint8)
+    path = str(tmp_path / "m.png")
+    png_io.write_map(path, img)
+    from PIL import Image
+
+    back = np.asarray(Image.open(path).convert("RGB"))
+    np.testing.assert_array_equal(back, palette.native_to_rgb(img))
+    # nearest-palette inversion restores the codes
+    np.testing.assert_array_equal(frames_io.rgb_to_native(back), img)
+
+
+def test_pure_zlib_png(tmp_path):
+    rng = np.random.default_rng(2)
+    rgb = rng.integers(0, 255, size=(9, 13, 3), dtype=np.uint8)
+    path = str(tmp_path / "z.png")
+    png_io._write_png_zlib(path, rgb)
+    from PIL import Image
+
+    np.testing.assert_array_equal(np.asarray(Image.open(path)), rgb)
+
+
+def test_native_codec_matches_spec():
+    if codec._native_lib() is None:
+        pytest.skip("native codec not built")
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        vals = rng.integers(0, 16, size=200, dtype=np.uint8)
+        reps = rng.integers(1, 30, size=200)
+        img = np.repeat(vals, reps)[: 48 * 52].reshape(48, 52)
+        assert codec.compress(img) == nic.compress(img)
+        np.testing.assert_array_equal(
+            codec.decompress(codec.compress(img), 52, 48), img
+        )
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from remap_tpu.config import PipelineConfig
+    from remap_tpu.io import checkpoint
+    from remap_tpu.pipeline import collect
+    from remap_tpu.utils import testing
+
+    clip = testing.simple_clip(n_frames=6, frame_hw=(64, 96), seed=51)
+    cfg = PipelineConfig(
+        screen_width=96, screen_height=64,
+        region_capacity=2048, frame_batch=4,
+    )
+    res = collect.collect(clip.frames, cfg)
+    checkpoint.save(str(tmp_path), "collect", res.fragments)
+    loaded = checkpoint.load(str(tmp_path), "collect")
+    assert len(loaded) == len(res.fragments)
+    for a, b in zip(loaded, res.fragments):
+        np.testing.assert_array_equal(a.dots, b.dots)
+        assert [(r.number, r.position) for r in a.frames] == [
+            (r.number, r.position) for r in b.frames
+        ]
+        np.testing.assert_array_equal(a.store.image(2), b.store.image(2))
+        np.testing.assert_array_equal(a.store.median(3), b.store.median(3))
