@@ -139,14 +139,15 @@ def make_pipeline_step(
 class StreamState(NamedTuple):
     """Device-resident state carried across streaming batches."""
 
-    dots: jax.Array       # [AH, AW, 16] uint16 stitch window
+    dots: jax.Array       # [16, AH+8, AW+128] uint16 stitch window
     carry: object         # RegionTables of the previous batch's last frame
     position: jax.Array   # [2] int32 running position
     started: jax.Array    # [] bool — false before the first frame
 
 
 def make_streaming_step(layout: GridLayout, cfg: PipelineConfig,
-                        atlas_pad: int = 128):
+                        atlas_pad: int = 128,
+                        use_pallas: bool | None = None):
     """Production streaming primitive: one batch of frames in, offsets out,
     atlas + matcher state stay on device.
 
@@ -160,6 +161,13 @@ def make_streaming_step(layout: GridLayout, cfg: PipelineConfig,
     h, w = layout.height, layout.width
     ah, aw = h + 2 * atlas_pad, w + 2 * atlas_pad
 
+    from remap_tpu.ops.pallas import blit as pblit
+
+    if use_pallas is None:
+        import jax as _jax
+
+        use_pallas = _jax.devices()[0].platform in ("tpu", "axon")
+
     def init_state() -> StreamState:
         r = layout.region_count
         k = cfg.region_capacity
@@ -171,7 +179,10 @@ def make_streaming_step(layout: GridLayout, cfg: PipelineConfig,
             overflow=jnp.zeros((1, r), bool),
         )
         return StreamState(
-            dots=jnp.zeros((ah, aw, atlas_ops.DEPTH), jnp.uint16),
+            dots=jnp.zeros(
+                (atlas_ops.DEPTH, ah + pblit.SUB, aw + pblit.LANE),
+                jnp.uint16,
+            ),
             carry=carry,
             position=jnp.zeros((2,), jnp.int32),
             started=jnp.zeros((), bool),
@@ -210,22 +221,26 @@ def make_streaming_step(layout: GridLayout, cfg: PipelineConfig,
             pos + atlas_pad, 0, jnp.array([aw - w, ah - h], jnp.int32)
         )
 
-        def body(dots, inp):
-            frame, p = inp
-            votes = (
-                frame[..., None] == jnp.arange(16, dtype=jnp.uint8)
-            ).astype(jnp.uint16)
-            cur = jax.lax.dynamic_slice(
-                dots, (p[1], p[0], 0), (h, w, atlas_ops.DEPTH)
+        vote_ok = jnp.ones((t, h, w), jnp.uint8)
+        if use_pallas:
+            dots = pblit.blit_frames(
+                images, vote_ok, anchored, ah, aw, dots=state.dots
             )
-            return (
-                jax.lax.dynamic_update_slice(
-                    dots, cur + votes, (p[1], p[0], 0)
-                ),
-                None,
-            )
+        else:
+            def body(dots, inp):
+                frame, p = inp
+                for c in range(atlas_ops.DEPTH):
+                    votes = (frame == c).astype(jnp.uint16)
+                    cur = jax.lax.dynamic_slice(
+                        dots, (c, p[1], p[0]), (1, h, w)
+                    )[0]
+                    dots = jax.lax.dynamic_update_slice(
+                        dots, (cur + votes)[None], (c, p[1], p[0])
+                    )
+                return dots, None
 
-        dots, _ = jax.lax.scan(body, state.dots, (images, anchored))
+            dots, _ = jax.lax.scan(body, state.dots, (images, anchored))
+
         new_state = StreamState(
             dots=dots,
             carry=jax.tree.map(lambda a: a[-1:], tabs),

@@ -1,0 +1,65 @@
+"""Pallas kernels validated in interpreter mode (CPU).
+
+The real-TPU compile of these kernels is exercised by bench.py; here the
+kernel logic is checked bit-exactly against the XLA formulations.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental import pallas as pl
+
+
+@pytest.fixture()
+def interpret_pallas(monkeypatch):
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
+    )
+
+
+def test_blit_kernel_matches_xla(interpret_pallas):
+    from remap_tpu.ops import atlas as xatlas
+    from remap_tpu.ops.pallas import blit as pblit
+
+    rng = np.random.default_rng(0)
+    f, h, w = 7, 48, 64
+    ah, aw = 80, 96
+    frames = rng.integers(0, 16, size=(f, h, w), dtype=np.uint8)
+    pos = np.stack(
+        [rng.integers(0, aw - w, f), rng.integers(0, ah - h, f)], -1
+    ).astype(np.int32)
+    ok = (rng.random((f, h, w)) < 0.8).astype(np.uint8)
+
+    ref = np.asarray(
+        xatlas.blit_frames(
+            jnp.asarray(frames),
+            jnp.asarray(pos),
+            atlas_h=ah,
+            atlas_w=aw,
+            masks=jnp.asarray(1 - ok),
+        )
+    )
+    out = np.asarray(
+        pblit.blit_frames(
+            jnp.asarray(frames), jnp.asarray(ok), jnp.asarray(pos), ah, aw
+        )
+    )[:, :ah, :aw]
+    np.testing.assert_array_equal(out.transpose(1, 2, 0), ref)
+
+
+def test_blit_kernel_accumulates(interpret_pallas):
+    from remap_tpu.ops.pallas import blit as pblit
+
+    frames = np.full((2, 8, 16), 3, np.uint8)
+    ok = np.ones((2, 8, 16), np.uint8)
+    pos = np.zeros((2, 2), np.int32)
+    d1 = pblit.blit_frames(
+        jnp.asarray(frames), jnp.asarray(ok), jnp.asarray(pos), 16, 32
+    )
+    d2 = pblit.blit_frames(
+        jnp.asarray(frames), jnp.asarray(ok), jnp.asarray(pos), 16, 32, dots=d1
+    )
+    assert int(np.asarray(d2)[3, 0, 0]) == 4
