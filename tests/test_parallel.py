@@ -1,0 +1,82 @@
+"""Multi-device sharded pipeline on the 8-device fake CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from remap_tpu.config import PipelineConfig
+from remap_tpu.core.regions import make_layout
+from remap_tpu.parallel import mesh as mesh_lib
+from remap_tpu.parallel.sharded import (
+    make_pipeline_step,
+    make_sharded_step,
+    make_streaming_step,
+    segmented_positions,
+)
+from remap_tpu.utils import testing
+
+CFG = PipelineConfig(
+    screen_width=96, screen_height=64, region_capacity=512, frame_batch=4
+)
+LAYOUT = make_layout(96, 64, 4, 2, 16)
+
+
+def test_mesh_axes():
+    m = mesh_lib.make_mesh(8, space=2)
+    assert m.shape == {"data": 4, "space": 2}
+    m1 = mesh_lib.make_mesh(8)
+    assert m1.shape == {"data": 8, "space": 1}
+
+
+def test_segmented_positions():
+    offs = jnp.asarray(
+        np.array([[[0, 0], [1, 2], [3, -1], [0, 0], [2, 2]]], np.int32)
+    )
+    matched = jnp.asarray(np.array([[False, True, True, False, True]]))
+    pos = np.asarray(segmented_positions(offs, matched))[0]
+    assert pos.tolist() == [[0, 0], [1, 2], [4, 1], [0, 0], [2, 2]]
+
+
+def test_sharded_step_matches_single_device():
+    # 4 clips over ('data' 4, 'space' 2); must equal the unsharded step
+    rng = np.random.default_rng(91)
+    clips = []
+    for s in range(4):
+        clip = testing.simple_clip(
+            n_frames=4, frame_hw=(64, 96), world_hw=(160, 224), seed=100 + s
+        )
+        clips.append(np.stack(clip.frames))
+    images = np.stack(clips)  # [4, 4, 64, 96]
+
+    mesh = mesh_lib.make_mesh(8, space=2)
+    sharded = make_sharded_step(mesh, LAYOUT, CFG, atlas_pad=16)
+    plain = jax.jit(make_pipeline_step(LAYOUT, CFG, atlas_pad=16))
+
+    rs = sharded(images)
+    rp = plain(images)
+    np.testing.assert_array_equal(np.asarray(rs.offsets), np.asarray(rp.offsets))
+    np.testing.assert_array_equal(np.asarray(rs.matched), np.asarray(rp.matched))
+    np.testing.assert_array_equal(np.asarray(rs.atlas), np.asarray(rp.atlas))
+
+
+def test_streaming_equals_batch_collect():
+    from remap_tpu.pipeline import collect as jcollect
+
+    clip = testing.simple_clip(
+        n_frames=12, frame_hw=(64, 96), world_hw=(160, 224), seed=31
+    )
+    col = jcollect.collect(clip.frames, CFG)
+
+    init, step = make_streaming_step(LAYOUT, CFG, atlas_pad=32, use_pallas=False)
+    step = jax.jit(step)
+    state = init()
+    offs_all = []
+    ok_all = []
+    for i in range(0, 12, 4):
+        batch = jnp.asarray(np.stack(clip.frames[i : i + 4]))
+        offs, ok, state = step(batch, state)
+        offs_all.extend(tuple(int(v) for v in o) for o in np.asarray(offs))
+        ok_all.extend(bool(v) for v in np.asarray(ok))
+    assert offs_all == [tuple(o) for o in col.offsets]
+    assert ok_all == col.matched.tolist()
