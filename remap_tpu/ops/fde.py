@@ -72,7 +72,6 @@ def foreground_mask(
     pix = kept[safe] & interior
 
     # bbox fills [top, bottom) x [left, right): 2D difference array
-    lab_ids = jnp.arange(big, dtype=jnp.int32)
     is_root = kept & (area > 0)
     diff = jnp.zeros((h + 1, w + 1), jnp.int32)
     upd = jnp.where(is_root, 1, 0)

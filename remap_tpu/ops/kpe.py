@@ -66,7 +66,6 @@ def _extract_dense(images: jax.Array, height: int, width: int) -> DenseExtract:
 
     # Separable box sums; counts fit in int8 (max 25).
     def box(o: jax.Array, k: int) -> jax.Array:
-        r = o
         half = k // 2
         row = sum(
             _shift2d(o, 0, dx, half) for dx in range(-half, half + 1)

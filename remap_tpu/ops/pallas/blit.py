@@ -4,14 +4,19 @@ The XLA formulation (ops.atlas.blit_frames) scans dynamic-update-slices
 over an HBM atlas — every frame round-trips the slice through HBM.  Here
 the whole atlas lives in a VMEM scratch accumulator across the
 sequential grid steps (one per frame); each step one-hot-expands its
-frame and adds it at the frame's position, and the last step flushes the
-atlas to the output.  Traffic: frames once in, atlas once out.
+frame and adds it at the frame's position, and the last step DMAs the
+accumulator to the HBM output.  Traffic: frames once in, atlas once out.
 
-Mosaic requires dynamic VMEM indices to be tile-aligned (sublane x8,
-lane x128 for the (8, 128) int16 tiling), so positions are split into an
-aligned base (used in-kernel with ``pl.multiple_of`` hints) and a
-sub-tile residual applied by rolling each frame on the XLA side before
-the kernel (cheap: one pass over the frames).
+Mosaic constraints shaped the design (found empirically on v5e):
+- dynamic VMEM indices must be tile-aligned — positions split into an
+  aligned base (``pl.multiple_of`` hints) plus a sub-tile residual
+  applied by rolling each frame on the XLA side,
+- sub-32-bit comparisons/relayouts are unsupported — the kernel computes
+  entirely in int32 (the uint16 wrap-around of the reference's vote
+  counters, fgm.hpp:12-15, is recovered exactly by the final modular
+  conversion),
+- non-voting pixels (mask or batch padding) are pre-encoded as the
+  out-of-palette value 16, removing a second mask input.
 
 Layout: channels-major ``[16, AH, AW]`` so the wide atlas rows ride the
 128-lane minor dimension.
@@ -31,37 +36,48 @@ SUB = 8      # sublane alignment
 LANE = 128   # lane alignment
 
 
-def _blit_kernel(base_ref, frames_ref, ok_ref, atlas_ref, acc):
-    b = pl.program_id(0)
-    nb = pl.num_programs(0)
+GROUPS = 2
+GDEPTH = DEPTH // GROUPS
+
+
+def _blit_kernel(base_ref, frames_ref, atlas_ref, acc, sem):
+    g = pl.program_id(0)      # channel group (bounds VMEM: 8 planes live)
+    b = pl.program_id(1)      # frame index
+    nb = pl.num_programs(1)
 
     @pl.when(b == 0)
     def _():
         acc[...] = jnp.zeros_like(acc)
 
-    frame = frames_ref[0]          # [H+SUB, W+LANE] uint8, pre-rolled
-    ok = ok_ref[0]
+    # [H+SUB, W+LANE] int32, pre-rolled; no-vote pixels encoded as 16
+    frame = frames_ref[0]
     h, w = frame.shape
     x = pl.multiple_of(base_ref[b, 0], LANE)
     y = pl.multiple_of(base_ref[b, 1], SUB)
 
-    for c in range(DEPTH):
-        votes = jnp.where(
-            (frame == c) & (ok != 0), jnp.uint16(1), jnp.uint16(0)
-        )
-        cur = acc[c, pl.ds(y, h), pl.ds(x, w)]
-        acc[c, pl.ds(y, h), pl.ds(x, w)] = cur + votes
+    cur = acc[:, pl.ds(y, h), pl.ds(x, w)]          # [GDEPTH, h, w] int32
+    base_c = g * GDEPTH
+    planes = [
+        cur[c]
+        + jnp.where(frame == base_c + c, jnp.int32(1), jnp.int32(0))
+        for c in range(GDEPTH)
+    ]
+    acc[:, pl.ds(y, h), pl.ds(x, w)] = jnp.stack(planes)
 
     @pl.when(b == nb - 1)
     def _():
-        atlas_ref[...] = acc[...]
+        dma = pltpu.make_async_copy(
+            acc, atlas_ref.at[pl.ds(g * GDEPTH, GDEPTH)], sem
+        )
+        dma.start()
+        dma.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("atlas_h", "atlas_w"))
 def blit_frames(
     frames: jax.Array,      # [F, H, W] uint8
     vote_ok: jax.Array,     # [F, H, W] uint8 — 1 where the pixel votes
-    positions: jax.Array,   # [F, 2] int32 (x, y), in [0, A? - ?]
+    positions: jax.Array,   # [F, 2] int32 (x, y), in-bounds
     atlas_h: int,
     atlas_w: int,
     dots: jax.Array | None = None,  # [16, AH', AW'] uint16 accumulator
@@ -87,39 +103,34 @@ def blit_frames(
     # residual placement by rolling padded frames (unaligned work stays in
     # XLA, where dynamic shifts are unconstrained)
     def prep(img, ok, sx, sy):
-        p = jnp.zeros((h + SUB, w + LANE), img.dtype)
-        p = p.at[:h, :w].set(jnp.where(ok != 0, img, 16))  # 16 = no vote
-        p = jnp.roll(p, (sy, sx), axis=(0, 1))
-        o = jnp.zeros((h + SUB, w + LANE), jnp.uint8)
-        o = o.at[:h, :w].set(1)
-        o = jnp.roll(o, (sy, sx), axis=(0, 1))
-        return p, o
+        p = jnp.full((h + SUB, w + LANE), 16, jnp.int32)
+        p = p.at[:h, :w].set(
+            jnp.where(ok != 0, img.astype(jnp.int32), jnp.int32(16))
+        )
+        return jnp.roll(p, (sy, sx), axis=(0, 1))
 
-    pf, po = jax.vmap(prep)(frames, vote_ok, rx, ry)
+    pf = jax.vmap(prep)(frames, vote_ok, rx, ry)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(f,),
+        grid=(GROUPS, f),
         in_specs=[
             pl.BlockSpec(
                 (1, h + SUB, w + LANE),
-                lambda b, base: (b, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, h + SUB, w + LANE),
-                lambda b, base: (b, 0, 0),
+                lambda g, b, base: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((DEPTH, ah, aw), jnp.uint16),
+            pltpu.VMEM((GDEPTH, ah, aw), jnp.int32),
+            pltpu.SemaphoreType.DMA,
         ],
     )
     out = pl.pallas_call(
         _blit_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((DEPTH, ah, aw), jnp.uint16),
-    )(base, pf, po)
-    return out + dots
+        out_shape=jax.ShapeDtypeStruct((DEPTH, ah, aw), jnp.int32),
+    )(base, pf)
+    # uint16 modular conversion reproduces the reference's wrap-around
+    return out.astype(jnp.uint16) + dots

@@ -53,8 +53,10 @@ def _region_table(
     # Row-major top-K selection: keypoints first, by ascending flat index.
     idx = jnp.arange(n, dtype=jnp.int32)
     key = jnp.where(is_kp, jnp.int32(1 << 30) - idx, -idx)
-    _, sel = jax.lax.top_k(key, capacity)             # [B, K]
-    valid = jnp.take_along_axis(is_kp, sel, axis=1)
+    vals, sel = jax.lax.top_k(key, capacity)          # [B, K]
+    # validity straight from the selection keys (gathers are expensive on
+    # TPU): keypoint keys are ~2^30, non-keypoint keys are <= 0
+    valid = vals > (1 << 29)
 
     codes = jnp.take_along_axis(cflat, sel[..., None], axis=1)
     xs = (sel % rw).astype(jnp.int32) + x_lo

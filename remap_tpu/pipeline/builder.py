@@ -23,7 +23,6 @@ from remap_tpu.pipeline import splice as splice_stage
 from remap_tpu.pipeline import window as window_stage
 from remap_tpu.pipeline.state import Fragment
 from remap_tpu.spec.aws import WindowInfo
-from remap_tpu.utils.profiling import PerfCounter
 
 
 class Callbacks:
@@ -44,22 +43,36 @@ class Callbacks:
 
 
 class PerfCallbacks(Callbacks):
-    """fps logging like the reference's perf_counter (main.cpp:54-110)."""
+    """Per-stage wall-clock fps, in the spirit of the reference's
+    perf_counter prints (main.cpp:54-110)."""
 
     def __init__(self) -> None:
-        self.counters = {}
+        import time
 
-    def _count(self, name: str, n: int) -> None:
-        c = self.counters.setdefault(name, PerfCounter(name, 1))
-        for _ in range(n):
-            c.count()
-        c.report()
+        self._t = time.perf_counter
+        self._last = self._t()
+
+    def _stage(self, name: str, frames: int) -> None:
+        now = self._t()
+        dt = max(now - self._last, 1e-9)
+        fps = f"{frames / dt:8.1f} fps" if frames else " " * 12
+        print(f"[{name}] {dt:6.2f} s  {fps}")
+        self._last = now
+
+    def on_window(self, window) -> None:
+        self._stage("aws", 0)
 
     def on_collect(self, result) -> None:
-        self._count("frc", len(result.offsets))
+        self._stage("frc", len(result.offsets))
+
+    def on_splice(self, fragments) -> None:
+        self._stage("fgs", 0)
 
     def on_filter(self, fragments) -> None:
-        self._count("fdf", sum(len(f.frames) for f in fragments))
+        self._stage("fdf", sum(len(f.frames) for f in fragments))
+
+    def on_clean(self, images) -> None:
+        self._stage("arf", 0)
 
 
 @dataclasses.dataclass
