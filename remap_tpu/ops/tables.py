@@ -38,27 +38,49 @@ def _region_table(
     x_lo: int,
     y_lo: int,
     capacity: int,
+    mode: str = "topk",
 ):
     b, rh, rw = weight_slab.shape
     n = rh * rw
     wflat = weight_slab.reshape(b, n)
     cflat = codes_slab.reshape(b, n, 4)
-    if n < capacity:  # tiny regions: pad so top_k(k=capacity) is legal
+    if n < capacity:  # tiny regions: pad up to the table size
         pad = capacity - n
         wflat = jnp.pad(wflat, ((0, 0), (0, pad)))
         cflat = jnp.pad(cflat, ((0, 0), (0, pad), (0, 0)))
         n = capacity
-    is_kp = wflat > 0
 
-    # Row-major top-K selection: keypoints first, by ascending flat index.
-    idx = jnp.arange(n, dtype=jnp.int32)
-    key = jnp.where(is_kp, jnp.int32(1 << 30) - idx, -idx)
-    vals, sel = jax.lax.top_k(key, capacity)          # [B, K]
-    # validity straight from the selection keys (gathers are expensive on
-    # TPU): keypoint keys are ~2^30, non-keypoint keys are <= 0
-    valid = vals > (1 << 29)
+    # Row-major top-K compaction.  Two formulations with identical
+    # results: "topk" (top_k keys + one payload gather) fuses better
+    # inside the full pipeline step; "sort" (one 5-operand sort, zero
+    # gathers) is faster standalone.  Positions and validity derive from
+    # the selection keys either way.
+    if mode == "sort":
+        idx = jnp.arange(n, dtype=jnp.int32)[None].repeat(b, axis=0)
+        sent = jnp.int32(1 << 30)
+        key = jnp.where(wflat > 0, idx, sent)
+        skey, c0, c1, c2, c3 = jax.lax.sort(
+            (key, cflat[..., 0], cflat[..., 1], cflat[..., 2],
+             cflat[..., 3]),
+            num_keys=1,
+            dimension=1,
+        )
+        skey = skey[:, :capacity]
+        codes = jnp.stack(
+            [c0[:, :capacity], c1[:, :capacity], c2[:, :capacity],
+             c3[:, :capacity]],
+            axis=-1,
+        )
+        valid = skey < sent
+        sel = jnp.where(valid, skey, 0)
+    else:
+        idx = jnp.arange(n, dtype=jnp.int32)
+        key = jnp.where(wflat > 0, jnp.int32(1 << 30) - idx, -idx)
+        vals, sel = jax.lax.top_k(key, capacity)      # [B, K]
+        valid = vals > (1 << 29)
+        codes = jnp.take_along_axis(cflat, sel[..., None], axis=1)
+        sel = jnp.where(valid, sel, 0)
 
-    codes = jnp.take_along_axis(cflat, sel[..., None], axis=1)
     xs = (sel % rw).astype(jnp.int32) + x_lo
     ys = (sel // rw).astype(jnp.int32) + y_lo
     pos = jnp.stack([xs, ys], axis=-1)
