@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Extended benchmark sweep across the BASELINE.json configurations.
+
+bench.py stays the one-line flagship contract; this runner reports the
+whole matrix (JSON lines, one per config):
+
+1. NES 256x240 grid-vote streaming (the flagship)
+2. SNES 256x224 grid-vote streaming
+3. C64 388x312 (the reference's own frame format)
+4. 8-clip batch on one chip (vmapped pipeline step, config 3)
+5. NES xcorr matcher family
+6. VGA 640x480 pyramid coarse-to-fine (config 5)
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def result(name, fps, extra=""):
+    print(
+        json.dumps(
+            {
+                "metric": name + (f" ({extra})" if extra else ""),
+                "value": round(fps, 1),
+                "unit": "frames/sec/chip",
+            }
+        ),
+        flush=True,
+    )
+
+
+def bench_stream(name, h, w, capacity=768, matcher="grid_vote", seconds=6.0):
+    import jax
+
+    from bench import make_clip
+    from remap_tpu.config import PipelineConfig
+    from remap_tpu.core.regions import make_layout
+    from remap_tpu.parallel.sharded import make_streaming_step
+
+    B = 256
+    cfg = PipelineConfig(
+        screen_width=w, screen_height=h,
+        region_capacity=capacity, frame_batch=B, matcher=matcher,
+    )
+    layout = make_layout(w, h, cfg.grid_width, cfg.grid_height,
+                         cfg.grid_overlap)
+    init, step = make_streaming_step(layout, cfg, atlas_pad=128)
+    step = jax.jit(step, donate_argnums=(1,))
+    frames = make_clip(B * 4, h, w)
+    batches = [jax.device_put(x) for x in np.split(frames, 4, axis=0)]
+
+    state = init()
+    offs, ok, state = step(batches[0], state)
+    matched = float(np.asarray(ok)[1:].mean())
+    np.asarray(offs)
+    t0 = time.perf_counter()
+    reps = 0
+    while time.perf_counter() - t0 < seconds:
+        for _ in range(4):
+            offs, ok, state = step(batches[reps % 4], state)
+            reps += 1
+        np.asarray(offs)
+    fps = reps * B / (time.perf_counter() - t0)
+    result(name, fps, f"matched {matched:.0%}")
+
+
+def bench_multiclip(seconds=6.0):
+    import jax
+
+    from bench import make_clip
+    from remap_tpu.config import PipelineConfig
+    from remap_tpu.core.regions import make_layout
+    from remap_tpu.parallel.sharded import make_pipeline_step
+
+    C, T, H, W = 8, 64, 240, 256
+    cfg = PipelineConfig(
+        screen_width=W, screen_height=H, region_capacity=768, frame_batch=T
+    )
+    layout = make_layout(W, H, 4, 2, 16)
+    step = jax.jit(make_pipeline_step(layout, cfg, atlas_pad=64))
+    clips = np.stack(
+        [make_clip(T, H, W, seed=s) for s in range(C)]
+    )  # [C, T, H, W]
+    dev = jax.device_put(clips)
+    res = step(dev)
+    np.asarray(res.offsets)
+    t0 = time.perf_counter()
+    reps = 0
+    while time.perf_counter() - t0 < seconds:
+        res = step(dev)
+        np.asarray(res.offsets)
+        reps += 1
+    fps = reps * C * T / (time.perf_counter() - t0)
+    result("8-clip vmap batch align+stitch at 256x240", fps)
+
+
+def bench_pyramid(seconds=6.0):
+    import jax
+    import jax.numpy as jnp
+
+    from bench import make_clip
+    from remap_tpu.models.pyramid import match_pyramid
+
+    B, H, W = 64, 480, 640
+    frames = make_clip(B + 1, H, W)
+    prev = jax.device_put(frames[:-1])
+    curr = jax.device_put(frames[1:])
+
+    f = jax.jit(
+        lambda p, c: match_pyramid(
+            p, c, factor=4, coarse_radius=32, fine_radius=7
+        )
+    )
+    offs, ok = f(prev, curr)
+    matched = float(np.asarray(ok).mean())
+    t0 = time.perf_counter()
+    reps = 0
+    while time.perf_counter() - t0 < seconds:
+        offs, ok = f(prev, curr)
+        np.asarray(offs)
+        reps += 1
+    fps = reps * B / (time.perf_counter() - t0)
+    result(
+        "pyramid coarse-to-fine match at 640x480", fps, f"matched {matched:.0%}"
+    )
+
+
+def main():
+    from remap_tpu.utils.runtime import setup_cache
+
+    setup_cache()
+    bench_stream("align+stitch NES 256x240 grid_vote", 240, 256)
+    bench_stream("align+stitch SNES 256x224 grid_vote", 224, 256)
+    bench_stream("align+stitch C64 388x312 grid_vote", 312, 388,
+                 capacity=1024)
+    bench_stream("align+stitch NES 256x240 xcorr", 240, 256,
+                 matcher="xcorr")
+    bench_multiclip()
+    bench_pyramid()
+
+
+if __name__ == "__main__":
+    main()

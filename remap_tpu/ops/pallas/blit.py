@@ -36,6 +36,17 @@ SUB = 8      # sublane alignment
 LANE = 128   # lane alignment
 
 
+def padded_dims(atlas_h: int, atlas_w: int):
+    """Tile-aligned physical atlas dims (logical atlas at [:h, :w]).
+
+    Beyond the +SUB/+LANE slack for sub-tile placement, the physical dims
+    themselves must be tile multiples — Mosaic requires DMA slices aligned
+    to the (8, 128) tiling."""
+    ah = ((atlas_h + 2 * SUB + SUB - 1) // SUB) * SUB
+    aw = ((atlas_w + 2 * LANE + LANE - 1) // LANE) * LANE
+    return ah, aw
+
+
 GROUPS = 2
 GDEPTH = DEPTH // GROUPS
 
@@ -83,10 +94,10 @@ def blit_frames(
     dots: jax.Array | None = None,  # [16, AH', AW'] uint16 accumulator
 ) -> jax.Array:
     """Returns [16, AH', AW'] uint16 vote histograms (channels-major),
-    where AH' = atlas_h + SUB and AW' = atlas_w + LANE (tile-padding; the
-    logical atlas occupies [:atlas_h, :atlas_w])."""
+    with (AH', AW') = padded_dims(atlas_h, atlas_w); the logical atlas
+    occupies [:atlas_h, :atlas_w]."""
     f, h, w = frames.shape
-    ah, aw = atlas_h + SUB, atlas_w + LANE
+    ah, aw = padded_dims(atlas_h, atlas_w)
     if dots is None:
         dots = jnp.zeros((DEPTH, ah, aw), jnp.uint16)
 
@@ -102,8 +113,11 @@ def blit_frames(
 
     # residual placement by rolling padded frames (unaligned work stays in
     # XLA, where dynamic shifts are unconstrained)
+    fh = ((h + SUB + SUB - 1) // SUB) * SUB
+    fw = ((w + LANE + LANE - 1) // LANE) * LANE
+
     def prep(img, ok, sx, sy):
-        p = jnp.full((h + SUB, w + LANE), 16, jnp.int32)
+        p = jnp.full((fh, fw), 16, jnp.int32)
         p = p.at[:h, :w].set(
             jnp.where(ok != 0, img.astype(jnp.int32), jnp.int32(16))
         )
@@ -116,7 +130,7 @@ def blit_frames(
         grid=(GROUPS, f),
         in_specs=[
             pl.BlockSpec(
-                (1, h + SUB, w + LANE),
+                (1, fh, fw),
                 lambda g, b, base: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),

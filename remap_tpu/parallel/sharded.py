@@ -180,7 +180,7 @@ def make_streaming_step(layout: GridLayout, cfg: PipelineConfig,
         )
         return StreamState(
             dots=jnp.zeros(
-                (atlas_ops.DEPTH, ah + pblit.SUB, aw + pblit.LANE),
+                (atlas_ops.DEPTH,) + pblit.padded_dims(ah, aw),
                 jnp.uint16,
             ),
             carry=carry,
