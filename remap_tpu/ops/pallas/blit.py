@@ -47,41 +47,53 @@ def padded_dims(atlas_h: int, atlas_w: int):
     return ah, aw
 
 
-GROUPS = 2
-GDEPTH = DEPTH // GROUPS
+#: VMEM budget for the resident accumulator (the 16 MB core budget minus
+#: slack for the double-buffered frame blocks).
+_ACC_BUDGET = 10 * 1024 * 1024
 
 
-def _blit_kernel(base_ref, frames_ref, atlas_ref, acc, sem):
-    g = pl.program_id(0)      # channel group (bounds VMEM: 8 planes live)
-    b = pl.program_id(1)      # frame index
-    nb = pl.num_programs(1)
+def _groups_for(ah: int, aw: int) -> int:
+    """Channel groups so the resident int32 accumulator fits VMEM."""
+    for groups in (1, 2, 4, 8, 16):
+        if (DEPTH // groups) * ah * aw * 4 <= _ACC_BUDGET:
+            return groups
+    raise ValueError(f"atlas {ah}x{aw} too large for a VMEM-resident blit")
 
-    @pl.when(b == 0)
-    def _():
-        acc[...] = jnp.zeros_like(acc)
 
-    # [H+SUB, W+LANE] int32, pre-rolled; no-vote pixels encoded as 16
-    frame = frames_ref[0]
-    h, w = frame.shape
-    x = pl.multiple_of(base_ref[b, 0], LANE)
-    y = pl.multiple_of(base_ref[b, 1], SUB)
+def _make_blit_kernel(gdepth: int):
+    def _blit_kernel(base_ref, frames_ref, atlas_ref, acc, sem):
+        g = pl.program_id(0)  # channel group (bounds resident VMEM planes)
+        b = pl.program_id(1)  # frame index
+        nb = pl.num_programs(1)
 
-    cur = acc[:, pl.ds(y, h), pl.ds(x, w)]          # [GDEPTH, h, w] int32
-    base_c = g * GDEPTH
-    planes = [
-        cur[c]
-        + jnp.where(frame == base_c + c, jnp.int32(1), jnp.int32(0))
-        for c in range(GDEPTH)
-    ]
-    acc[:, pl.ds(y, h), pl.ds(x, w)] = jnp.stack(planes)
+        @pl.when(b == 0)
+        def _():
+            acc[...] = jnp.zeros_like(acc)
 
-    @pl.when(b == nb - 1)
-    def _():
-        dma = pltpu.make_async_copy(
-            acc, atlas_ref.at[pl.ds(g * GDEPTH, GDEPTH)], sem
-        )
-        dma.start()
-        dma.wait()
+        # [fh, fw] int32, pre-rolled; no-vote pixels encoded as 16
+        frame = frames_ref[0]
+        h, w = frame.shape
+        x = pl.multiple_of(base_ref[b, 0], LANE)
+        y = pl.multiple_of(base_ref[b, 1], SUB)
+
+        cur = acc[:, pl.ds(y, h), pl.ds(x, w)]      # [gdepth, h, w] int32
+        base_c = g * gdepth
+        planes = [
+            cur[c]
+            + jnp.where(frame == base_c + c, jnp.int32(1), jnp.int32(0))
+            for c in range(gdepth)
+        ]
+        acc[:, pl.ds(y, h), pl.ds(x, w)] = jnp.stack(planes)
+
+        @pl.when(b == nb - 1)
+        def _():
+            dma = pltpu.make_async_copy(
+                acc, atlas_ref.at[pl.ds(g * gdepth, gdepth)], sem
+            )
+            dma.start()
+            dma.wait()
+
+    return _blit_kernel
 
 
 @functools.partial(jax.jit, static_argnames=("atlas_h", "atlas_w"))
@@ -125,9 +137,11 @@ def blit_frames(
 
     pf = jax.vmap(prep)(frames, vote_ok, rx, ry)
 
+    groups = _groups_for(ah, aw)
+    gdepth = DEPTH // groups
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(GROUPS, f),
+        grid=(groups, f),
         in_specs=[
             pl.BlockSpec(
                 (1, fh, fw),
@@ -137,12 +151,12 @@ def blit_frames(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((GDEPTH, ah, aw), jnp.int32),
+            pltpu.VMEM((gdepth, ah, aw), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
     )
     out = pl.pallas_call(
-        _blit_kernel,
+        _make_blit_kernel(gdepth),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((DEPTH, ah, aw), jnp.int32),
     )(base, pf)

@@ -1,0 +1,84 @@
+"""Device cellular matcher vs spec (kpm.hpp:371-393 semantics)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from remap_tpu.core.regions import make_layout
+from remap_tpu.ops import kpe as jkpe
+from remap_tpu.ops import splice as jsplice
+from remap_tpu.ops import tables as jtab
+from remap_tpu.spec import kpe as skpe
+from remap_tpu.spec import kpm as skpm
+from remap_tpu.utils import testing
+
+
+def snippet(image, mask, capacity=4096):
+    h, w = image.shape
+    layout = make_layout(w, h, 1, 1, 0)
+    dense = jkpe.extract_dense(jnp.asarray(image[None]), layout)
+    tabs = jtab.extract_tables(dense.weight, dense.codes, layout, capacity)
+    sres = skpe.extract(image, layout)
+    hb = ((h + 127) // 128) * 128
+    wb = ((w + 127) // 128) * 128
+    mb = np.zeros((hb, wb), np.uint8)
+    mb[:h, :w] = mask
+    return tabs, sres.regions[0], mb, (w, h)
+
+
+def run_both(img_a, mask_a, img_b, mask_b, mult=16):
+    ta, ra, mba, da = snippet(img_a, mask_a)
+    tb, rb, _, db = snippet(img_b, mask_b)
+    jres = jsplice.match_fragments(
+        ta.codes[0, 0], ta.pos[0, 0], ta.valid[0, 0],
+        tb.codes[0, 0], tb.pos[0, 0], tb.valid[0, 0],
+        jnp.asarray(mba),
+        jnp.asarray(np.array(da, np.int32)),
+        jnp.asarray(np.array(db, np.int32)),
+        multiplicity=mult,
+    )
+    assert not bool(jres.overflow)
+    sres = skpm.match_fragments(ra, mask_a, rb, mask_b, (15, 15))
+    j = (
+        (tuple(int(v) for v in np.asarray(jres.offset)), int(jres.count))
+        if bool(jres.ok)
+        else None
+    )
+    return j, sres
+
+
+def test_overlapping_blends_match():
+    rng = np.random.default_rng(5)
+    world = testing.make_world(200, 260, rng)
+    a = world[10:110, 10:150]
+    b = world[40:150, 35:200]
+    ma = np.ones(a.shape, np.uint8)
+    mb = np.ones(b.shape, np.uint8)
+    j, s = run_both(a, ma, b, mb)
+    assert s is not None and j is not None
+    assert j == s
+    assert j[0] == (25, 30)
+
+
+def test_disjoint_blends_reject():
+    rng = np.random.default_rng(6)
+    world_a = testing.make_world(120, 160, rng)
+    world_b = testing.make_world(120, 160, np.random.default_rng(7))
+    a = world_a[10:90, 10:130]
+    b = world_b[10:90, 10:130]
+    ma = np.ones(a.shape, np.uint8)
+    j, s = run_both(a, ma, b, ma.copy())
+    assert j == s  # both reject (or both accept a coincidence)
+
+
+def test_partial_masks():
+    rng = np.random.default_rng(8)
+    world = testing.make_world(200, 260, rng)
+    a = world[10:110, 10:150].copy()
+    b = world[40:150, 35:200].copy()
+    ma = np.ones(a.shape, np.uint8)
+    mb = np.ones(b.shape, np.uint8)
+    ma[:, :40] = 0   # left band of a is empty atlas
+    a[:, :40] = 0
+    j, s = run_both(a, ma, b, mb)
+    assert j == s
