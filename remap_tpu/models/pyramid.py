@@ -48,7 +48,7 @@ def match_pyramid(
 
     shifted = jax.vmap(shift_one)(curr, base)
     fine = correlate.match_xcorr(
-        prev, shifted, radius=fine_radius, min_cover=0.15
+        prev, shifted, radius=fine_radius, min_cover=0.15, method="direct"
     )
     offset = base + fine.offset
     ok = coarse.ok & fine.ok

@@ -72,9 +72,31 @@ def correlation_scores(
     return win
 
 
+def correlation_scores_direct(
+    prev: jax.Array, curr: jax.Array, radius: int
+) -> jax.Array:
+    """Same scores as :func:`correlation_scores` by direct shifted
+    comparison — cheaper than FFTs for small radii (the pyramid fine
+    pass): (2R+1)^2 static rolls with border masking."""
+    b, h, w = prev.shape
+    n = 2 * radius + 1
+    rows = []
+    for dy in range(-radius, radius + 1):
+        cols = []
+        for dx in range(-radius, radius + 1):
+            # prev sampled at x + d; out-of-bounds contributes nothing
+            shifted = jnp.roll(prev, (-dy, -dx), axis=(1, 2))
+            eq = (shifted == curr).astype(jnp.float32)
+            y0, y1 = max(0, -dy), h - max(0, dy)
+            x0, x1 = max(0, -dx), w - max(0, dx)
+            cols.append(eq[:, y0:y1, x0:x1].sum(axis=(1, 2)))
+        rows.append(jnp.stack(cols, axis=-1))
+    return jnp.stack(rows, axis=-2)  # [B, 2R+1, 2R+1]
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("radius", "min_ratio", "min_cover", "exclude"),
+    static_argnames=("radius", "min_ratio", "min_cover", "exclude", "method"),
 )
 def match_xcorr(
     prev: jax.Array,
@@ -83,10 +105,14 @@ def match_xcorr(
     min_ratio: float = 1.10,
     min_cover: float = 0.20,
     exclude: int = 2,
+    method: str = "fft",
 ) -> XCorrResult:
     """Peak-pick + dominance acceptance over the correlation window."""
     b, h, w = prev.shape
-    win = correlation_scores(prev, curr, radius)
+    if method == "direct":
+        win = correlation_scores_direct(prev, curr, radius)
+    else:
+        win = correlation_scores(prev, curr, radius)
     n = 2 * radius + 1
     flat = win.reshape(b, -1)
     peak_idx = jnp.argmax(flat, axis=-1)

@@ -112,13 +112,26 @@ def _extract_dense(images: jax.Array, height: int, width: int) -> DenseExtract:
     return DenseExtract(median=median, weight=weight, codes=codes)
 
 
-def extract_dense(images: jax.Array, layout: GridLayout) -> DenseExtract:
+def extract_dense(
+    images: jax.Array,
+    layout: GridLayout,
+    use_pallas: bool = False,
+) -> DenseExtract:
     """Run the dense kernel and zero the outside-bounds median/weight.
 
     Processed bounds: x in [kh, W-kh), y in [kh, H-kh-2) (core.regions).
+    With ``use_pallas`` the fused VMEM kernel (ops.pallas.extract) runs
+    instead of the XLA formulation — bit-identical within bounds (tested
+    on device); callers pass the flag at build time (platform checks
+    cannot happen under tracing).
     """
     b, h, w = images.shape
-    res = _extract_dense(images, height=h, width=w)
+    if use_pallas:
+        from remap_tpu.ops.pallas import extract as pext
+
+        res = pext.extract_dense_raw(images)
+    else:
+        res = _extract_dense(images, height=h, width=w)
     x_lo, x_hi = layout.x_proc
     y_lo, y_hi = layout.y_proc
 

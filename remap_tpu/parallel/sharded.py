@@ -62,16 +62,26 @@ def make_pipeline_step(
     layout: GridLayout,
     cfg: PipelineConfig,
     atlas_pad: int = 64,
+    use_pallas: bool | None = None,
 ):
     """Build the jittable [C, T, H, W] -> StepResult function."""
     h, w = layout.height, layout.width
     ah, aw = h + 2 * atlas_pad, w + 2 * atlas_pad
 
+    from remap_tpu.ops.pallas import blit as pblit
+
+    if use_pallas is None:
+        import jax as _jax
+
+        use_pallas = _jax.devices()[0].platform in ("tpu", "axon")
+    # per-clip atlas rows stacked in one physical atlas (sublane-aligned)
+    ah_row = ((ah + pblit.SUB - 1) // pblit.SUB) * pblit.SUB
+
     def step(images: jax.Array) -> StepResult:
         c, t = images.shape[:2]
 
         dense = jax.vmap(
-            lambda im: kpe_ops.extract_dense(im, layout)
+            lambda im: kpe_ops.extract_dense(im, layout, use_pallas)
         )(images)
         tabs = jax.vmap(
             lambda wgt, cod: table_ops.build_tables(
@@ -107,28 +117,50 @@ def make_pipeline_step(
             positions + atlas_pad, 0, jnp.array([aw - w, ah - h], jnp.int32)
         )
 
-        def blit_clip(frames, pos):
-            dots = jnp.zeros((ah, aw, atlas_ops.DEPTH), jnp.uint16)
+        if use_pallas:
+            # one kernel call blits every clip: per-clip atlas rows stack
+            # vertically in a single physical atlas, positions offset by
+            # the clip row
+            flat_frames = images.reshape(c * t, h, w)
+            row_off = (
+                jnp.arange(c, dtype=jnp.int32)[:, None, None]
+                * jnp.array([0, ah_row], jnp.int32)[None, None, :]
+            )
+            flat_pos = (anchored + row_off).reshape(c * t, 2)
+            stacked = pblit.blit_frames(
+                flat_frames,
+                jnp.ones((c * t, h, w), jnp.uint8),
+                flat_pos,
+                atlas_h=c * ah_row,
+                atlas_w=aw,
+            )  # [16, AH', AW']
+            rows = stacked[:, : c * ah_row, :].reshape(
+                atlas_ops.DEPTH, c, ah_row, -1
+            )
+            atlas = rows[:, :, :ah, :aw].transpose(1, 2, 3, 0)
+        else:
+            def blit_clip(frames, pos):
+                dots = jnp.zeros((ah, aw, atlas_ops.DEPTH), jnp.uint16)
 
-            def body(dots, inp):
-                frame, p = inp
-                votes = (
-                    frame[..., None] == jnp.arange(16, dtype=jnp.uint8)
-                ).astype(jnp.uint16)
-                cur = jax.lax.dynamic_slice(
-                    dots, (p[1], p[0], 0), (h, w, atlas_ops.DEPTH)
-                )
-                return (
-                    jax.lax.dynamic_update_slice(
-                        dots, cur + votes, (p[1], p[0], 0)
-                    ),
-                    None,
-                )
+                def body(dots, inp):
+                    frame, p = inp
+                    votes = (
+                        frame[..., None] == jnp.arange(16, dtype=jnp.uint8)
+                    ).astype(jnp.uint16)
+                    cur = jax.lax.dynamic_slice(
+                        dots, (p[1], p[0], 0), (h, w, atlas_ops.DEPTH)
+                    )
+                    return (
+                        jax.lax.dynamic_update_slice(
+                            dots, cur + votes, (p[1], p[0], 0)
+                        ),
+                        None,
+                    )
 
-            dots, _ = jax.lax.scan(body, dots, (frames, pos))
-            return dots
+                dots, _ = jax.lax.scan(body, dots, (frames, pos))
+                return dots
 
-        atlas = jax.vmap(blit_clip)(images, anchored)
+            atlas = jax.vmap(blit_clip)(images, anchored)
         return StepResult(
             offsets=offsets, matched=matched, positions=positions, atlas=atlas
         )
@@ -190,7 +222,7 @@ def make_streaming_step(layout: GridLayout, cfg: PipelineConfig,
 
     def step(images: jax.Array, state: StreamState):
         t = images.shape[0]
-        dense = kpe_ops.extract_dense(images, layout)
+        dense = kpe_ops.extract_dense(images, layout, use_pallas)
         tabs = table_ops.build_tables(
             dense.weight, dense.codes, layout, cfg.region_capacity
         )

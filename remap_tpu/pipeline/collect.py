@@ -66,10 +66,12 @@ def make_collect_step(layout: GridLayout, cfg: PipelineConfig):
 
         frame_matcher = models.get_matcher(cfg.matcher, cfg)
 
+    use_pallas = jax.devices()[0].platform in ("tpu", "axon")
+
     @jax.jit
     def step(images: jax.Array, carry):
         carry_tabs, carry_frame = carry
-        dense = kpe_ops.extract_dense(images, layout)
+        dense = kpe_ops.extract_dense(images, layout, use_pallas)
         tabs = table_ops.build_tables(
             dense.weight, dense.codes, layout, cfg.region_capacity
         )

@@ -60,3 +60,27 @@ def test_cli_missing_dir():
     r = run_cli("/definitely/not/a/dir")
     assert r.returncode == 1
     assert "cannot read frames" in r.stderr
+
+
+def test_cli_png_format(clip_dir, tmp_path):
+    # convert the raw clip to PNG frames and run the png feed
+    import numpy as np
+    from remap_tpu.core import palette
+    from PIL import Image
+
+    png_dir = tmp_path / "png"
+    png_dir.mkdir()
+    for f in sorted(clip_dir.iterdir(), key=lambda p: int(p.name)):
+        img = np.fromfile(f, dtype=np.uint8).reshape(72, 96)
+        Image.fromarray(palette.native_to_rgb(img)).save(
+            png_dir / f"{f.name}.png"
+        )
+    out = str(tmp_path / "pngmap")
+    r = run_cli(
+        str(png_dir), "--format", "png",
+        "--frame-batch", "8", "--region-capacity", "2048",
+        "--out-prefix", out,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    img = np.asarray(Image.open(out + "1.png"))
+    assert img.shape[2] == 3
