@@ -10,7 +10,6 @@ batch sizes and checkpointing that the reference hardcodes
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import sys
 
 from remap_tpu.config import MatchConfig, PipelineConfig

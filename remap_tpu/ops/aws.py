@@ -16,7 +16,6 @@ the host over these per-frame scalars.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Tuple
 
 import jax

@@ -16,7 +16,6 @@ cte.hpp:149-166).
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

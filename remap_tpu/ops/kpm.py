@@ -28,7 +28,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from remap_tpu.config import PipelineConfig
 from remap_tpu.core.regions import GridLayout
 from remap_tpu.ops.tables import RegionTables
 

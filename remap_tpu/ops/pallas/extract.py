@@ -14,7 +14,6 @@ wrapper masks out (outside the processed bounds, core.regions).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -20,15 +20,14 @@ version).
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from remap_tpu.config import PipelineConfig
-from remap_tpu.core.regions import GridLayout, make_layout
+from remap_tpu.core.regions import GridLayout
 from remap_tpu.ops import atlas as atlas_ops
 from remap_tpu.ops import kpe as kpe_ops
 from remap_tpu.ops import kpm as kpm_ops

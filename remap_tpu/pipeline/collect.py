@@ -23,8 +23,7 @@ Frames + medians are stored packed on the host for the foreground pass
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
+from typing import Iterable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
