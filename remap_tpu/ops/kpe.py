@@ -126,7 +126,9 @@ def extract_dense(
     cannot happen under tracing).
     """
     b, h, w = images.shape
-    if use_pallas:
+    # the fused kernel's unrolled rank chain keeps ~NES-frame temporaries
+    # in VMEM; larger frames fall back to the XLA formulation
+    if use_pallas and h * w <= 62_000:
         from remap_tpu.ops.pallas import extract as pext
 
         res = pext.extract_dense_raw(images)

@@ -7,9 +7,14 @@ without materializing the 16-channel one-hot planes in HBM.  Everything is
 int32 (Mosaic dislikes sub-32-bit layouts; nibble-packed codes reinterpret
 exactly as the uint32 words of spec.kpe.pack_code).
 
-Grid: one program per frame; a 240x256 frame plus temporaries is ~2 MB of
-VMEM.  Border wraparound from the rolled shifts only corrupts pixels the
-wrapper masks out (outside the processed bounds, core.regions).
+The rank walk is a ``fori_loop`` with explicit carries (five planes), not
+an unrolled chain — unrolling kept every iteration's temporaries live on
+the kernel "stack" and blew the 16 MB VMEM budget on large frames.  The
+ordered->native permutation rides in as a scalar-prefetch table.
+
+Grid: one program per frame.  Border wraparound from the rolled shifts
+only corrupts pixels the wrapper masks out (outside the processed bounds,
+core.regions).
 """
 
 from __future__ import annotations
@@ -18,6 +23,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -36,20 +42,14 @@ def _roll2(a, dy, dx):
     return a
 
 
-def _extract_kernel(frame_ref, median_ref, weight_ref, codes_ref):
+def _extract_kernel(tab_ref, frame_ref, median_ref, weight_ref, codes_ref):
     frame = frame_ref[0]                    # [H, W] int32 palette codes
-    ord2nat = [int(v) for v in palette.ORDERED_TO_NATIVE]
-
     zero = jnp.zeros_like(frame)
-    cge3 = zero
-    cge5 = zero
-    p3cnt = zero
-    p5cnt = zero
-    p1r = zero
 
-    # descend the luminance ranks, accumulating counts >= rank
-    for r in range(15, -1, -1):
-        nat = ord2nat[r]
+    def rank_step(i, carry):
+        cge3, cge5, p3cnt, p5cnt, p1r = carry
+        r = 15 - i
+        nat = tab_ref[r]                    # ordered rank -> native code
         oh = jnp.where(frame == nat, jnp.int32(1), jnp.int32(0))
         p1r = p1r + r * oh
 
@@ -63,6 +63,11 @@ def _extract_kernel(frame_ref, median_ref, weight_ref, codes_ref):
         cge5 = cge5 + box5
         p3cnt = p3cnt + jnp.where(cge3 >= HALF3, 1, 0)
         p5cnt = p5cnt + jnp.where(cge5 >= HALF5, 1, 0)
+        return cge3, cge5, p3cnt, p5cnt, p1r
+
+    _, _, p3cnt, p5cnt, p1r = jax.lax.fori_loop(
+        0, 16, rank_step, (zero, zero, zero, zero, zero)
+    )
 
     # cnt_ge(r) >= half holds exactly for r <= median rank (descending
     # accumulation), so the true count is rank + 1 (kpe.hpp:326-340)
@@ -70,10 +75,10 @@ def _extract_kernel(frame_ref, median_ref, weight_ref, codes_ref):
     p5 = p5cnt - 1
 
     # median image back in native codes
-    med = zero
-    for r in range(16):
-        med = med + jnp.where(p3 == r, jnp.int32(ord2nat[r]), 0)
-    median_ref[0] = med
+    def med_step(r, med):
+        return med + jnp.where(p3 == r, tab_ref[r], 0)
+
+    median_ref[0] = jax.lax.fori_loop(0, 16, med_step, zero)
 
     is_kp = (p1r != p3) & (p3 != p5)
     weight = jnp.where(
@@ -106,28 +111,33 @@ def extract_dense_raw(images: jax.Array) -> PallasExtract:
     """[B, H, W] uint8 -> unmasked dense extraction (borders garbage)."""
     b, h, w = images.shape
     f32 = images.astype(jnp.int32)
+    tab = jnp.asarray(palette.ORDERED_TO_NATIVE.astype(np.int32))
 
-    median, weight, codes = pl.pallas_call(
-        _extract_kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, h, w), lambda i, tab: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, h, w), lambda i, tab: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, h, w), lambda i, tab: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, h, w), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, 4, h, w), lambda i, tab: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
+    )
+    median, weight, codes = pl.pallas_call(
+        _extract_kernel,
+        grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b, h, w), jnp.int32),
             jax.ShapeDtypeStruct((b, h, w), jnp.int32),
             jax.ShapeDtypeStruct((b, 4, h, w), jnp.int32),
         ),
-    )(f32)
+    )(tab, f32)
     return PallasExtract(
         median=median.astype(jnp.uint8),
         weight=weight.astype(jnp.uint8),

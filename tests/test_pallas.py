@@ -63,3 +63,27 @@ def test_blit_kernel_accumulates(interpret_pallas):
         jnp.asarray(frames), jnp.asarray(ok), jnp.asarray(pos), 16, 32, dots=d1
     )
     assert int(np.asarray(d2)[3, 0, 0]) == 4
+
+
+def test_extract_kernel_matches_xla(interpret_pallas):
+    from remap_tpu.core.regions import make_layout
+    from remap_tpu.ops import kpe as jkpe
+    from remap_tpu.ops.pallas import extract as pext
+
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 16, size=(2, 48, 64), dtype=np.uint8)
+    layout = make_layout(64, 48, 4, 2, 8)
+    ref = jkpe.extract_dense(jnp.asarray(imgs), layout)
+    out = pext.extract_dense_raw(jnp.asarray(imgs))
+    x_lo, x_hi = layout.x_proc
+    y_lo, y_hi = layout.y_proc
+    sl = np.s_[:, y_lo:y_hi, x_lo:x_hi]
+    np.testing.assert_array_equal(
+        np.asarray(out.median)[sl], np.asarray(ref.median)[sl]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.weight)[sl], np.asarray(ref.weight)[sl]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.codes)[sl], np.asarray(ref.codes)[sl]
+    )
