@@ -116,16 +116,21 @@ def select(
     margin = size // 2
 
     dots_f = dots.astype(jnp.float32)
-    # depthwise conv: feature_group_count = 16
-    lhs = dots_f.transpose(2, 0, 1)[None]             # [1, 16, H, W]
-    rhs = jnp.asarray(kernel)[None, None].repeat(depth, axis=0)  # [16,1,s,s]
-    conv = jax.lax.conv_general_dilated(
-        lhs,
-        rhs,
-        window_strides=(1, 1),
-        padding="SAME",
-        feature_group_count=depth,
-    )[0].transpose(1, 2, 0)                           # [H, W, 16]
+    # The 2D Gaussian a*exp(-(dx^2+dy^2)/d) is separable; blur via two
+    # passes of static shifted adds.  (A depthwise conv_general_dilated
+    # with feature_group_count=16 silently produced zeros on the axon TPU
+    # backend — found the hard way; shifted adds are backend-proof and
+    # equally fast for a 13-tap kernel.)  Rolled wraparound only corrupts
+    # the margin ring, which is excluded from the processed region below.
+    g1d = kernel[margin, :] / np.sqrt(kernel[margin, margin])  # sqrt(a)*e^…
+    rowpass = sum(
+        jnp.float32(g1d[margin + t]) * jnp.roll(dots_f, -t, axis=1)
+        for t in range(-margin, margin + 1)
+    )
+    conv = sum(
+        jnp.float32(g1d[margin + t]) * jnp.roll(rowpass, -t, axis=0)
+        for t in range(-margin, margin + 1)
+    )                                                  # [H, W, 16]
 
     present = dots > 0
     blurred_pick = jnp.argmax(

@@ -126,9 +126,10 @@ def extract_dense(
     cannot happen under tracing).
     """
     b, h, w = images.shape
-    # the fused kernel's unrolled rank chain keeps ~NES-frame temporaries
-    # in VMEM; larger frames fall back to the XLA formulation
-    if use_pallas and h * w <= 62_000:
+    # the fused kernel holds ~12 int32 frame planes in VMEM; beyond
+    # C64-size frames (~0.5 MB/plane) it overflows the 16 MB budget and
+    # the XLA formulation takes over (tiling the kernel is future work)
+    if use_pallas and h * w <= 125_000:
         from remap_tpu.ops.pallas import extract as pext
 
         res = pext.extract_dense_raw(images)
