@@ -68,6 +68,7 @@ def main():
         screen_width=W,
         screen_height=H,
         region_capacity=768,
+        join_multiplicity=2,
         frame_batch=BATCH,
     )
     layout = make_layout(W, H, cfg.grid_width, cfg.grid_height, cfg.grid_overlap)
@@ -79,21 +80,25 @@ def main():
         jax.device_put(b) for b in np.split(frames, N_BATCHES, axis=0)
     ]
 
-    # warmup/compile + correctness sniff
+    # warmup/compile + correctness sniff: all matched, nothing overflowed
+    # (overflow would mean the static join limits truncated vote counts)
     state = init_state()
-    offs, matched, state = step(batches[0], state)
+    offs, matched, overflow, state = step(batches[0], state)
     matched_frac = float(np.asarray(matched)[1:].mean())
+    assert not np.asarray(overflow).any(), "join overflow: raise limits"
 
     best = 0.0
     for _trial in range(3):
         state = init_state()
-        offs, matched, state = step(batches[0], state)
+        offs, matched, overflow, state = step(batches[0], state)
         np.asarray(matched)  # sync before timing
         t0 = time.perf_counter()
         reps = 0
         while time.perf_counter() - t0 < 8.0:
             for _ in range(PIPELINE):
-                offs, matched, state = step(batches[reps % N_BATCHES], state)
+                offs, matched, overflow, state = step(
+                    batches[reps % N_BATCHES], state
+                )
                 reps += 1
             np.asarray(offs)  # force the whole dispatched chain
         dt = time.perf_counter() - t0

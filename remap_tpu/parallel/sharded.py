@@ -240,6 +240,7 @@ def make_streaming_step(layout: GridLayout, cfg: PipelineConfig,
         # the very first frame of the stream never matches
         matched = res.ok & (state.started | (jnp.arange(t) > 0))
         offsets = jnp.where(matched[:, None], res.offset, 0)
+        overflow = res.overflow | tabs.overflow.any(axis=-1)
 
         # positions: segmented cumsum with resets at breaks
         # (frc.hpp:109-115), seeded with the carried running position for
@@ -278,7 +279,7 @@ def make_streaming_step(layout: GridLayout, cfg: PipelineConfig,
             position=pos[-1],
             started=jnp.ones((), bool),
         )
-        return offsets, matched, new_state
+        return offsets, matched, overflow, new_state
 
     return init_state, step
 

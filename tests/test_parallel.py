@@ -75,7 +75,8 @@ def test_streaming_equals_batch_collect():
     ok_all = []
     for i in range(0, 12, 4):
         batch = jnp.asarray(np.stack(clip.frames[i : i + 4]))
-        offs, ok, state = step(batch, state)
+        offs, ok, ovf, state = step(batch, state)
+        assert not bool(np.asarray(ovf).any())
         offs_all.extend(tuple(int(v) for v in o) for o in np.asarray(offs))
         ok_all.extend(bool(v) for v in np.asarray(ok))
     assert offs_all == [tuple(o) for o in col.offsets]
