@@ -108,6 +108,10 @@ class PipelineConfig:
     #: Capacity of the single whole-image region used in fragment splicing
     #: (fgs uses a 1x1 grid, fgs.hpp:17).
     splice_capacity: int = 2048
+    #: Region-table compaction backend: "topk" or "sort" (identical
+    #: results; relative speed depends on surrounding fusion — benchmarked
+    #: per release).
+    table_mode: str = "topk"
     #: Max same-code multiplicity handled exactly by the sort-merge join
     #: in the matcher (overflow is flagged; raise for pathological inputs).
     join_multiplicity: int = 4

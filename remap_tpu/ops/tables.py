@@ -97,6 +97,7 @@ def build_tables(
     codes: jax.Array,    # [B, H, W, 4] uint32
     layout: GridLayout,
     capacity: int,
+    mode: str = "topk",
 ) -> RegionTables:
     """Extract all R region tables; regions stack on axis 1 in index order
     xs * grid_h + ys (kpr.hpp:68-91)."""
@@ -107,7 +108,7 @@ def build_tables(
             wslab = weight[:, y_lo:y_hi, x_lo:x_hi]
             cslab = codes[:, y_lo:y_hi, x_lo:x_hi]
             per_region.append(
-                _region_table(wslab, cslab, x_lo, y_lo, capacity)
+                _region_table(wslab, cslab, x_lo, y_lo, capacity, mode)
             )
     return RegionTables(
         codes=jnp.stack([r[0] for r in per_region], axis=1),

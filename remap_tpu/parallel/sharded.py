@@ -84,7 +84,7 @@ def make_pipeline_step(
         )(images)
         tabs = jax.vmap(
             lambda wgt, cod: table_ops.build_tables(
-                wgt, cod, layout, cfg.region_capacity
+                wgt, cod, layout, cfg.region_capacity, cfg.table_mode
             )
         )(dense.weight, dense.codes)
 
@@ -223,7 +223,8 @@ def make_streaming_step(layout: GridLayout, cfg: PipelineConfig,
         t = images.shape[0]
         dense = kpe_ops.extract_dense(images, layout, use_pallas)
         tabs = table_ops.build_tables(
-            dense.weight, dense.codes, layout, cfg.region_capacity
+            dense.weight, dense.codes, layout, cfg.region_capacity,
+            cfg.table_mode,
         )
         prev = jax.tree.map(
             lambda c, a: jnp.concatenate([c, a[:-1]], axis=0),

@@ -72,7 +72,8 @@ def make_collect_step(layout: GridLayout, cfg: PipelineConfig):
         carry_tabs, carry_frame = carry
         dense = kpe_ops.extract_dense(images, layout, use_pallas)
         tabs = table_ops.build_tables(
-            dense.weight, dense.codes, layout, cfg.region_capacity
+            dense.weight, dense.codes, layout, cfg.region_capacity,
+            cfg.table_mode,
         )
         if frame_matcher is None:
             prev = jax.tree.map(
