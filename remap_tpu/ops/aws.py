@@ -76,6 +76,30 @@ def best_contour(heatmap: jax.Array) -> Tuple[jax.Array, ...]:
 def scan_batch(
     prev_frame: jax.Array, frames: jax.Array, heatmap: jax.Array
 ) -> BatchScan:
+    """The heatmap only ever loses ones, so once it stabilizes (the whole
+    stagnation tail, aws.hpp:118-144) consecutive frames share identical
+    contours — the scan skips the labeling entirely for unchanged frames
+    (lax.cond reuses the previous result)."""
     heatmaps = heatmap_scan(prev_frame, frames, heatmap)
-    color, area, bbox = jax.vmap(best_contour)(heatmaps)
+
+    def as_tuple(h):
+        color, area, bbox = best_contour(h)
+        return color, area, bbox
+
+    init_out = as_tuple(heatmap)
+
+    def step(carry, heat):
+        prev_heat, prev_out = carry
+        changed = jnp.any(heat != prev_heat)
+        out = jax.lax.cond(
+            changed,
+            lambda operands: as_tuple(operands[0]),
+            lambda operands: operands[1],
+            (heat, prev_out),
+        )
+        return (heat, out), out
+
+    _, (color, area, bbox) = jax.lax.scan(
+        step, (heatmap, init_out), heatmaps
+    )
     return BatchScan(heatmaps=heatmaps, color=color, area=area, bbox=bbox)
