@@ -119,3 +119,23 @@ def test_foreground_area_limit():
     np.testing.assert_array_equal(jmask, smask)
     # the big blob itself is dropped...
     assert jmask[20, 30] == 0
+
+
+def test_window_scan_ignores_color1_winner():
+    # first frames identical: heatmap all ones -> single color-1 contour
+    # must NOT become a window (aws.hpp:129: only color-0 contours grow)
+    rng = np.random.default_rng(71)
+    base = rng.integers(0, 16, size=(40, 60), dtype=np.uint8)
+    frames = [base.copy() for _ in range(6)]
+    # then changes start
+    for i in range(6, 20):
+        f = base.copy()
+        f[10:30, 10:50] = rng.integers(0, 16, size=(20, 40), dtype=np.uint8)
+        frames.append(f)
+    swin = __import__("remap_tpu.spec.aws", fromlist=["aws"]).scan(
+        iter(frames)
+    )
+    jwin = jwindow.scan(iter(frames), CFG)
+    assert (swin is None) == (jwin is None)
+    if swin is not None:
+        assert swin.raw_bounds == jwin.raw_bounds
