@@ -16,19 +16,12 @@ the host over these per-frame scalars.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
 from remap_tpu.ops import cc
-
-
-class BatchScan(NamedTuple):
-    heatmaps: jax.Array   # [B, H, W] uint8 heatmap AFTER each frame
-    color: jax.Array      # [B] int32 winning contour color
-    area: jax.Array       # [B] int32 winning contour area
-    bbox: jax.Array       # [B, 4] int32 (left, top, right, bottom) inclusive
 
 
 def heatmap_scan(
@@ -75,31 +68,22 @@ def best_contour(heatmap: jax.Array) -> Tuple[jax.Array, ...]:
 @jax.jit
 def scan_batch(
     prev_frame: jax.Array, frames: jax.Array, heatmap: jax.Array
-) -> BatchScan:
-    """The heatmap only ever loses ones, so once it stabilizes (the whole
-    stagnation tail, aws.hpp:118-144) consecutive frames share identical
-    contours — the scan skips the labeling entirely for unchanged frames
-    (lax.cond reuses the previous result)."""
+):
+    """Batched heatmap advance + per-frame change flags.
+
+    Contour labeling is NOT fused here: the heatmap only ever loses ones,
+    so it stabilizes within a handful of frames and the host only labels
+    the few changed states (best_contour_jit per changed frame keeps each
+    compiled program small — the fused scan-of-cond-of-while variant was
+    a single huge XLA program whose compiles dwarfed its runtime)."""
     heatmaps = heatmap_scan(prev_frame, frames, heatmap)
+    shifted = jnp.concatenate([heatmap[None], heatmaps[:-1]], axis=0)
+    changed = jnp.any(heatmaps != shifted, axis=(1, 2))
+    return heatmaps, changed
 
-    def as_tuple(h):
-        color, area, bbox = best_contour(h)
-        return color, area, bbox
 
-    init_out = as_tuple(heatmap)
-
-    def step(carry, heat):
-        prev_heat, prev_out = carry
-        changed = jnp.any(heat != prev_heat)
-        out = jax.lax.cond(
-            changed,
-            lambda operands: as_tuple(operands[0]),
-            lambda operands: operands[1],
-            (heat, prev_out),
-        )
-        return (heat, out), out
-
-    _, (color, area, bbox) = jax.lax.scan(
-        step, (heatmap, init_out), heatmaps
-    )
-    return BatchScan(heatmaps=heatmaps, color=color, area=area, bbox=bbox)
+@jax.jit
+def best_contour_jit(heatmap: jax.Array) -> jax.Array:
+    """[6] int32: (color, area, left, top, right, bottom) — one fetch."""
+    color, area, bbox = best_contour(heatmap)
+    return jnp.concatenate([color[None], area[None], bbox])

@@ -1,8 +1,11 @@
 """Action-window scan stage (aws.hpp:98-156 on TPU).
 
-Frames stream through ops.aws.scan_batch in device batches; the host runs
-the tiny growth/stagnation/acceptance state machine over the per-frame
-scalars it gets back (color, area, bbox):
+Frames stream through the device in batches: one small program advances
+the persistent equality heatmap for the whole batch and flags which frames
+actually changed it; the host labels only the changed states
+(ops.aws.best_contour_jit — the heatmap stabilizes within a handful of
+frames, so labeling is rare) and runs the tiny growth/stagnation
+acceptance machine over the per-frame scalars:
 
 - a changed (color-0) winning contour that grew resets stagnation and
   updates the tracked window (aws.hpp:129-139),
@@ -14,9 +17,8 @@ scalars it gets back (color, area, bbox):
 
 from __future__ import annotations
 
-from typing import Iterable, Optional
+from typing import Iterable, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -47,6 +49,8 @@ def scan(
     area = 0
     stagnation = 0
     b = cfg.frame_batch
+    #: best-contour scalars of the latest labeled heatmap state
+    last: Optional[Tuple] = None
 
     done = False
     while not done:
@@ -61,23 +65,26 @@ def scan(
             break
         n_real = len(batch)
         padded = batch + [batch[-1]] * (b - n_real)
-        res = aws_ops.scan_batch(prev, jnp.asarray(np.stack(padded)), heatmap)
-        colors = np.asarray(res.color)[:n_real]
-        areas = np.asarray(res.area)[:n_real]
-        bboxes = np.asarray(res.bbox)[:n_real]
+        heatmaps, changed = aws_ops.scan_batch(
+            prev, jnp.asarray(np.stack(padded)), heatmap
+        )
+        changed_np = np.asarray(changed)[:n_real]
 
         for i in range(n_real):
             if stagnation > cfg.aws_stagnation_limit:
                 done = True
                 break
-            if colors[i] == 0 and areas[i] > area:
+            if changed_np[i] or last is None:
+                last = np.asarray(aws_ops.best_contour_jit(heatmaps[i]))
+            color, carea, cbbox = last[0], last[1], last[2:]
+            if color == 0 and carea > area:
                 stagnation = 0
-                area = int(areas[i])
+                area = int(carea)
                 window = Rect(
-                    left=int(bboxes[i, 0]),
-                    top=int(bboxes[i, 1]),
-                    right=int(bboxes[i, 2]),
-                    bottom=int(bboxes[i, 3]),
+                    left=int(cbbox[0]),
+                    top=int(cbbox[1]),
+                    right=int(cbbox[2]),
+                    bottom=int(cbbox[3]),
                 )
                 if result is not None or (
                     area > min_area
@@ -88,7 +95,7 @@ def scan(
             if result is not None:
                 stagnation += 1
 
-        heatmap = res.heatmaps[n_real - 1]
+        heatmap = heatmaps[n_real - 1]
         prev = jnp.asarray(batch[n_real - 1])
 
     if result is None:
