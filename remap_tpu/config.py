@@ -115,6 +115,12 @@ class PipelineConfig:
     #: Max same-code multiplicity handled exactly by the sort-merge join
     #: in the matcher (overflow is flagged; raise for pathological inputs).
     join_multiplicity: int = 4
+    #: Store per-frame medians in the host FrameStore.  Off by default:
+    #: medians are a pure function of the frame and are recomputed on
+    #: device in the foreground pass, avoiding a large device->host
+    #: download per batch (downloads are 10-100x slower than uploads on
+    #: the benchmark harness).  The RLE/store parity path can re-enable.
+    store_medians: bool = False
     #: Frames per device dispatch in the batched collect path.
     frame_batch: int = 128
     #: Atlas dimensions are rounded up to multiples of this to bound the

@@ -26,16 +26,17 @@ def save(directory: str, tag: str, fragments: List[Fragment]) -> None:
     if store is not None:
         meta["height"] = store.height
         meta["width"] = store.width
-        np.savez_compressed(
-            os.path.join(root, "store.npz"),
+        payload = dict(
             numbers=np.array(sorted(store._images.keys()), np.int64),
             images=np.stack(
                 [store._images[k] for k in sorted(store._images.keys())]
             ),
-            medians=np.stack(
-                [store._medians[k] for k in sorted(store._medians.keys())]
-            ),
         )
+        if store.has_medians:
+            payload["medians"] = np.stack(
+                [store._medians[k] for k in sorted(store._medians.keys())]
+            )
+        np.savez_compressed(os.path.join(root, "store.npz"), **payload)
     with open(os.path.join(root, "meta.json"), "w") as f:
         json.dump(meta, f)
     for i, frag in enumerate(fragments):
@@ -61,7 +62,8 @@ def load(directory: str, tag: str) -> List[Fragment]:
         data = np.load(store_path)
         for k, num in enumerate(data["numbers"]):
             store._images[int(num)] = data["images"][k]
-            store._medians[int(num)] = data["medians"][k]
+            if "medians" in data:
+                store._medians[int(num)] = data["medians"][k]
     fragments = []
     for i in range(meta["count"]):
         data = np.load(os.path.join(root, f"fragment{i}.npz"))

@@ -88,17 +88,34 @@ def foreground_mask(
     return pix.reshape(h, w) | inside
 
 
-@functools.partial(jax.jit, static_argnames=("area_divisor",))
+@functools.partial(
+    jax.jit, static_argnames=("area_divisor", "compute_medians", "use_pallas")
+)
 def extract_batch(
     background: jax.Array,   # [HB, WB] uint8
     frames: jax.Array,       # [B, H, W] uint8
-    medians: jax.Array,      # [B, H, W] uint8
+    medians,                 # [B, H, W] uint8, or None with compute_medians
     positions: jax.Array,    # [B, 2] int32
     area_divisor: int = 5,
+    compute_medians: bool = False,
+    use_pallas: bool = False,
 ) -> jax.Array:
-    """[B, H, W] uint8 foreground masks (1 = foreground, vote where 0)."""
+    """[B, H, W] uint8 foreground masks (1 = foreground, vote where 0).
+
+    Medians are a pure function of the frame (kpe.hpp:308-314), so with
+    ``compute_medians`` they are recomputed here instead of shipped from
+    the host store (device->host downloads are the slow direction on the
+    benchmark harness)."""
     _, h, w = frames.shape
     limit = (h * w) // area_divisor
+
+    if compute_medians:
+        from remap_tpu.core.regions import make_layout
+        from remap_tpu.ops import kpe as kpe_ops
+
+        # processed bounds depend only on the frame dims, not the grid
+        layout = make_layout(w, h, 1, 1, 0)
+        medians = kpe_ops.extract_dense(frames, layout, use_pallas).median
 
     def one(frame, median, pos):
         eq = equality_mask(background, frame, pos)

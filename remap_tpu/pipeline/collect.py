@@ -159,7 +159,9 @@ def match_pass(
         offsets.append(off)
         matched.append(ok)
         if store is not None:
-            meds = np.asarray(median)[:n_real]
+            meds = (
+                np.asarray(median)[:n_real] if cfg.store_medians else None
+            )
             store.put_batch(
                 list(range(number, number + n_real)),
                 np.stack(batch),

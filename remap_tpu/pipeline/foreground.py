@@ -25,6 +25,9 @@ def filter_fragments(
     fragments: List[Fragment],
     cfg: PipelineConfig,
 ) -> List[Fragment]:
+    import jax
+
+    use_pallas = jax.devices()[0].platform in ("tpu", "axon")
     results: List[Fragment] = []
     b = cfg.frame_batch
 
@@ -46,11 +49,15 @@ def filter_fragments(
             cpos = poss[i : i + b]
             n_real = len(chunk)
             imgs = store.images_batch(chunk)
-            meds = store.medians_batch(chunk)
+            recompute = not store.has_medians
+            meds = None if recompute else store.medians_batch(chunk)
             if n_real < b:
                 pad = b - n_real
                 imgs = np.concatenate([imgs, np.zeros((pad, fh, fw), np.uint8)])
-                meds = np.concatenate([meds, np.zeros((pad, fh, fw), np.uint8)])
+                if meds is not None:
+                    meds = np.concatenate(
+                        [meds, np.zeros((pad, fh, fw), np.uint8)]
+                    )
             apos = np.array(
                 [(px - frag.zero[0], py - frag.zero[1]) for px, py in cpos]
                 + [(0, 0)] * (b - n_real),
@@ -59,9 +66,11 @@ def filter_fragments(
             fg = fde_ops.extract_batch(
                 background,
                 jnp.asarray(imgs),
-                jnp.asarray(meds),
+                None if recompute else jnp.asarray(meds),
                 jnp.asarray(apos),
                 area_divisor=cfg.fde_area_divisor,
+                compute_medians=recompute,
+                use_pallas=use_pallas and fh * fw <= 125_000,
             )
             # padding frames must vote nowhere
             if n_real < b:

@@ -47,16 +47,24 @@ class FrameStore:
         self._medians[number] = pack_nibbles(median)
 
     def put_batch(
-        self, numbers: List[int], images: np.ndarray, medians: np.ndarray
+        self,
+        numbers: List[int],
+        images: np.ndarray,
+        medians: Optional[np.ndarray] = None,
     ) -> None:
         packed_i = pack_nibbles_batch(images)
-        packed_m = pack_nibbles_batch(medians)
+        packed_m = pack_nibbles_batch(medians) if medians is not None else None
         for k, no in enumerate(numbers):
             self._images[no] = packed_i[k]
-            self._medians[no] = packed_m[k]
+            if packed_m is not None:
+                self._medians[no] = packed_m[k]
 
     def image(self, number: int) -> np.ndarray:
         return unpack_nibbles(self._images[number], self.width)
+
+    @property
+    def has_medians(self) -> bool:
+        return bool(self._medians)
 
     def median(self, number: int) -> np.ndarray:
         return unpack_nibbles(self._medians[number], self.width)

@@ -74,7 +74,7 @@ class StreamingStitcher:
         self.store.put_batch(
             list(range(self.frame_no, self.frame_no + n_real)),
             np.asarray(batch[:n_real]),
-            np.asarray(median)[:n_real],
+            np.asarray(median)[:n_real] if self.cfg.store_medians else None,
         )
         self.frame_no += n_real
         self._offsets.append(off)

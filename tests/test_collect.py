@@ -78,8 +78,12 @@ def test_batch_boundary_invariance():
 
 
 def test_store_roundtrip():
+    import dataclasses as _dc
+
     clip = testing.simple_clip(n_frames=5, seed=49)
-    jres = jcollect.collect(clip.frames, CFG)
+    jres = jcollect.collect(
+        clip.frames, _dc.replace(CFG, store_medians=True)
+    )
     for i, f in enumerate(clip.frames):
         np.testing.assert_array_equal(jres.store.image(i), f)
     # medians: stored medians match spec extraction

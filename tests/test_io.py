@@ -81,7 +81,7 @@ def test_checkpoint_roundtrip(tmp_path):
     clip = testing.simple_clip(n_frames=6, frame_hw=(64, 96), seed=51)
     cfg = PipelineConfig(
         screen_width=96, screen_height=64,
-        region_capacity=2048, frame_batch=4,
+        region_capacity=2048, frame_batch=4, store_medians=True,
     )
     res = collect.collect(clip.frames, cfg)
     checkpoint.save(str(tmp_path), "collect", res.fragments)
