@@ -39,7 +39,9 @@ from remap_tpu.pipeline.state import (
     Fragment,
     FrameRef,
     FrameStore,
+    pack_nibbles_batch,
     simulate_growth,
+    unpack_nibbles_device,
 )
 
 
@@ -151,7 +153,11 @@ def match_pass(
             break
         n_real = len(batch)
         padded = batch + [batch[-1]] * (b - n_real)
-        images = jnp.asarray(np.stack(padded))
+        stacked = np.stack(padded)
+        # ship packed (2 px/byte) over the slow link, unpack on device
+        images = _unpack_jit(
+            jnp.asarray(pack_nibbles_batch(stacked)), stacked.shape[-1]
+        )
         median, off, ok, ovf, carry = step(images, carry)
         off = np.asarray(off)[:n_real]
         ok = np.asarray(ok)[:n_real]
@@ -164,7 +170,7 @@ def match_pass(
             )
             store.put_batch(
                 list(range(number, number + n_real)),
-                np.stack(batch),
+                stacked[:n_real],
                 meds,
             )
         number += n_real
@@ -198,6 +204,14 @@ def segment_positions(
     return segments
 
 
+import functools as _ft
+
+
+@_ft.partial(jax.jit, static_argnames=("width",))
+def _unpack_jit(packed, width):
+    return unpack_nibbles_device(packed, width)
+
+
 def blit_pass(
     segments: List[Tuple[List[int], List[Tuple[int, int]]]],
     store: FrameStore,
@@ -224,11 +238,14 @@ def blit_pass(
             chunk_nos = numbers[i : i + b]
             chunk_pos = positions[i : i + b]
             n_real = len(chunk_nos)
-            imgs = store.images_batch(chunk_nos)
+            packed = store.packed_images_batch(chunk_nos)
             if n_real < b:
-                imgs = np.concatenate(
-                    [imgs, np.zeros((b - n_real, fh, fw), np.uint8)]
+                packed = np.concatenate(
+                    [packed, np.zeros((b - n_real,) + packed.shape[1:],
+                                      np.uint8)]
                 )
+            # frames cross the host->device link packed (2 px/byte)
+            imgs = _unpack_jit(jnp.asarray(packed), fw)
             vote_ok = np.ones((b, fh, fw), np.uint8)
             vote_ok[n_real:] = 0
             apos = np.array(
@@ -238,7 +255,7 @@ def blit_pass(
             )
             if use_pallas:
                 dots = pblit.blit_frames(
-                    jnp.asarray(imgs),
+                    imgs,
                     jnp.asarray(vote_ok),
                     jnp.asarray(apos),
                     atlas_h=ch,
@@ -249,7 +266,7 @@ def blit_pass(
                 if dots is None:
                     dots = jnp.zeros((ch, cw, atlas_ops.DEPTH), jnp.uint16)
                 dots = atlas_ops.blit_frames(
-                    jnp.asarray(imgs),
+                    imgs,
                     jnp.asarray(apos),
                     atlas_h=ch,
                     atlas_w=cw,

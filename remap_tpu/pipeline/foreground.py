@@ -18,6 +18,7 @@ import numpy as np
 from remap_tpu.config import PipelineConfig
 from remap_tpu.ops import atlas as atlas_ops
 from remap_tpu.ops import fde as fde_ops
+from remap_tpu.pipeline.collect import _unpack_jit
 from remap_tpu.pipeline.state import Fragment, FrameRef
 
 
@@ -48,16 +49,19 @@ def filter_fragments(
             chunk = nums[i : i + b]
             cpos = poss[i : i + b]
             n_real = len(chunk)
-            imgs = store.images_batch(chunk)
+            packed = store.packed_images_batch(chunk)
             recompute = not store.has_medians
             meds = None if recompute else store.medians_batch(chunk)
             if n_real < b:
                 pad = b - n_real
-                imgs = np.concatenate([imgs, np.zeros((pad, fh, fw), np.uint8)])
+                packed = np.concatenate(
+                    [packed, np.zeros((pad,) + packed.shape[1:], np.uint8)]
+                )
                 if meds is not None:
                     meds = np.concatenate(
                         [meds, np.zeros((pad, fh, fw), np.uint8)]
                     )
+            imgs = _unpack_jit(jnp.asarray(packed), fw)
             apos = np.array(
                 [(px - frag.zero[0], py - frag.zero[1]) for px, py in cpos]
                 + [(0, 0)] * (b - n_real),
@@ -65,7 +69,7 @@ def filter_fragments(
             )
             fg = fde_ops.extract_batch(
                 background,
-                jnp.asarray(imgs),
+                imgs,
                 None if recompute else jnp.asarray(meds),
                 jnp.asarray(apos),
                 area_divisor=cfg.fde_area_divisor,
@@ -76,7 +80,7 @@ def filter_fragments(
             if n_real < b:
                 fg = fg.at[n_real:].set(1)
             out_dots = atlas_ops.blit_frames(
-                jnp.asarray(imgs),
+                imgs,
                 jnp.asarray(apos),
                 atlas_h=ch,
                 atlas_w=cw,

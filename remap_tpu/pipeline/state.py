@@ -25,6 +25,19 @@ def pack_nibbles(img: np.ndarray) -> np.ndarray:
     return (img[:, 0::2] << 4) | img[:, 1::2]
 
 
+def unpack_nibbles_device(packed, width: int):
+    """Device-side unpack: [..., Wp] uint8 -> [..., width] uint8.
+
+    Frames ride the (slow) host->device link packed 2 px/byte and expand
+    on device."""
+    import jax.numpy as jnp
+
+    hi = packed >> 4
+    lo = packed & 0x0F
+    out = jnp.stack([hi, lo], axis=-1).reshape(*packed.shape[:-1], -1)
+    return out[..., :width]
+
+
 def unpack_nibbles(packed: np.ndarray, width: int) -> np.ndarray:
     h = packed.shape[0]
     out = np.empty((h, packed.shape[1] * 2), dtype=np.uint8)
@@ -71,6 +84,11 @@ class FrameStore:
 
     def images_batch(self, numbers: List[int]) -> np.ndarray:
         return np.stack([self.image(n) for n in numbers])
+
+    def packed_images_batch(self, numbers: List[int]) -> np.ndarray:
+        """Packed [B, H, ceil(W/2)] uint8 — upload these and unpack on
+        device (unpack_nibbles_device)."""
+        return np.stack([self._images[n] for n in numbers])
 
     def medians_batch(self, numbers: List[int]) -> np.ndarray:
         return np.stack([self.median(n) for n in numbers])
