@@ -188,6 +188,28 @@ def _join_rolled(
     return dx, dy, pair, overflow, spx, spy
 
 
+def _join_dense(
+    p_codes, p_pos, p_valid,      # [K,4] u32, [K,2] i32, [K] bool
+    c_codes, c_pos, c_sel,
+):
+    """Exhaustive [K, K] pair enumeration — no multiplicity limit.
+
+    The escalation endpoint for pathological inputs (heavily repeated
+    codes): quadratic in table capacity but enumerates *every* equal-code
+    pair, so there is no overflow condition.  Selected via
+    ``multiplicity=0``."""
+    eq = jnp.all(p_codes[:, None, :] == c_codes[None, :, :], axis=-1)
+    pair = eq & p_valid[:, None] & c_sel[None, :]
+    dx = p_pos[:, None, 0] - c_pos[None, :, 0]
+    dy = p_pos[:, None, 1] - c_pos[None, :, 1]
+    # transpose to [curr, prev] so the row axis matches the rolled join's
+    # curr-major convention (irrelevant to vote counting)
+    return (
+        dx.T, dy.T, pair.T, jnp.zeros((), bool),
+        c_pos[:, 0], c_pos[:, 1],
+    )
+
+
 def _region_votes(
     p_codes, p_pos, p_valid,      # [K,4] u32, [K,2] i32, [K] bool
     c_codes, c_pos, c_valid,
@@ -204,10 +226,15 @@ def _region_votes(
     c_weight = (c_codes[:, 3] >> 4) & 0xF
     c_sel = c_valid & (use_all_weights | (c_weight == 2))  # kpm.hpp:113-116
 
-    dx, dy, pair, overflow = _join_rolled(
-        p_codes, p_pos, p_valid, c_codes, c_pos, c_sel,
-        multiplicity, max_run=2 * multiplicity,
-    )[:4]
+    if multiplicity == 0:  # exhaustive dense join (no limits)
+        dx, dy, pair, overflow = _join_dense(
+            p_codes, p_pos, p_valid, c_codes, c_pos, c_sel
+        )[:4]
+    else:
+        dx, dy, pair, overflow = _join_rolled(
+            p_codes, p_pos, p_valid, c_codes, c_pos, c_sel,
+            multiplicity, max_run=2 * multiplicity,
+        )[:4]
     keys = jnp.where(
         pair, _encode_offset(dx, dy, w, h), jnp.int32(sentinel)
     ).reshape(-1)

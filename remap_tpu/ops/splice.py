@@ -24,7 +24,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from remap_tpu.ops.kpm import _join_rolled
+from remap_tpu.ops.kpm import _join_dense, _join_rolled
 
 
 class CellMatch(NamedTuple):
@@ -50,10 +50,15 @@ def match_fragments(
 ) -> CellMatch:
     hb, wb = p_mask.shape
 
-    dx, dy, pair, overflow, scx, scy = _join_rolled(
-        p_codes, p_pos, p_valid, c_codes, c_pos, c_valid,
-        multiplicity, max_run=2 * multiplicity,
-    )
+    if multiplicity == 0:  # exhaustive dense join
+        dx, dy, pair, overflow, scx, scy = _join_dense(
+            p_codes, p_pos, p_valid, c_codes, c_pos, c_valid
+        )
+    else:
+        dx, dy, pair, overflow, scx, scy = _join_rolled(
+            p_codes, p_pos, p_valid, c_codes, c_pos, c_valid,
+            multiplicity, max_run=2 * multiplicity,
+        )
 
     o_sent = jnp.int32(4 * wb * hb)
     okey = jnp.where(pair, (dx + wb) * (2 * hb) + (dy + hb), o_sent)

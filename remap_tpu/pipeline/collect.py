@@ -320,11 +320,20 @@ def collect(
         yield from frames
 
     offsets, matched, overflow = match_pass(chain(), layout, cfg, store)
-    while strict and overflow > 0 and cfg.region_capacity <= 1 << 15:
+    while strict and overflow > 0:
+        # escalate: 4x multiplicity, then the exhaustive dense join (0);
+        # capacity doubles alongside (table overflow raises it too)
+        if cfg.join_multiplicity == 0 and cfg.region_capacity > 1 << 14:
+            break  # give up: caller sees overflow_frames > 0
+        next_mult = (
+            0
+            if cfg.join_multiplicity == 0 or cfg.join_multiplicity >= 16
+            else cfg.join_multiplicity * 4
+        )
         cfg = dataclasses.replace(
             cfg,
             region_capacity=cfg.region_capacity * 2,
-            join_multiplicity=cfg.join_multiplicity * 2,
+            join_multiplicity=next_mult,
         )
         replay = (store.image(i) for i in range(len(store)))
         offsets, matched, overflow = match_pass(replay, layout, cfg, None)

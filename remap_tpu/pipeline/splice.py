@@ -99,12 +99,10 @@ def _match(
             multiplicity=mult,
         )
         # blended fragments repeat tile patterns heavily; escalate the
-        # join multiplicity until the enumeration is exhaustive
-        if not bool(res.overflow) and mult <= cfg.splice_capacity:
+        # join multiplicity, ending at the exhaustive dense join (0)
+        if not bool(res.overflow) or mult == 0:
             break
-        if mult > cfg.splice_capacity:
-            break
-        mult *= 4
+        mult = 0 if mult >= 16 else mult * 4
     if not bool(res.ok):
         return None
     off = tuple(int(v) for v in np.asarray(res.offset))

@@ -98,3 +98,34 @@ def test_nibble_packing_odd_width():
     rng = np.random.default_rng(50)
     img = rng.integers(0, 16, size=(9, 31), dtype=np.uint8)
     np.testing.assert_array_equal(unpack_nibbles(pack_nibbles(img), 31), img)
+
+
+def test_strict_retry_on_repetitive_texture():
+    # heavy code repetition (tiled world) forces join-multiplicity
+    # overflow at tiny limits; strict retry must converge to exact offsets
+    import dataclasses as _dc
+
+    rng = np.random.default_rng(53)
+    tile = rng.integers(0, 16, size=(6, 6), dtype=np.uint8)
+    world = np.tile(tile, (30, 40)).astype(np.uint8)
+    # sparsely sprinkle distinct pixels so keypoints repeat but match
+    ys, xs = np.nonzero(rng.random(world.shape) < 0.02)
+    world[ys, xs] = rng.integers(0, 16, size=len(ys)).astype(np.uint8)
+
+    frames = [
+        world[y : y + 64, x : x + 96]
+        for x, y in [(20, 20), (22, 21), (25, 23), (24, 26)]
+    ]
+    cfg = _dc.replace(
+        CFG, region_capacity=512, join_multiplicity=1, frame_batch=4
+    )
+    res = jcollect.collect(frames, cfg)
+    assert res.overflow_frames == 0  # retries resolved everything
+
+    from remap_tpu.spec import frc as sfrc
+
+    layout = make_layout(96, 64, 4, 2, 16)
+    sfrags = sfrc.collect(frames, layout)
+    assert len(res.fragments) == len(sfrags)
+    for jf, sf in zip(res.fragments, sfrags):
+        np.testing.assert_array_equal(jf.dots, sf.dots)
