@@ -27,11 +27,20 @@ def _native_lib() -> Optional[ctypes.CDLL]:
     if _LIB_TRIED:
         return _LIB
     _LIB_TRIED = True
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
-        "native",
-        "libremapcodec.so",
+    native_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "native"
     )
+    path = os.path.join(native_dir, "libremapcodec.so")
+    if not os.path.exists(path) and os.path.exists(
+        os.path.join(native_dir, "Makefile")
+    ):
+        import subprocess
+
+        subprocess.run(
+            ["make", "-C", native_dir],
+            capture_output=True,
+            check=False,
+        )
     if os.path.exists(path):
         lib = ctypes.CDLL(path)
         lib.rle_compress.restype = ctypes.c_size_t
