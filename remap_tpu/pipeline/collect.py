@@ -23,6 +23,7 @@ Frames + medians are stored packed on the host for the foreground pass
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Iterable, List, Optional, Tuple
 
 import jax
@@ -204,10 +205,7 @@ def segment_positions(
     return segments
 
 
-import functools as _ft
-
-
-@_ft.partial(jax.jit, static_argnames=("width",))
+@functools.partial(jax.jit, static_argnames=("width",))
 def _unpack_jit(packed, width):
     return unpack_nibbles_device(packed, width)
 
