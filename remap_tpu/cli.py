@@ -31,6 +31,9 @@ def make_parser() -> argparse.ArgumentParser:
                    help="output PNG prefix (out -> out1.png, ...)")
     p.add_argument("--artifact-dev", type=float, default=2.0)
     p.add_argument("--artifact-size", type=int, default=15)
+    p.add_argument("--matcher", choices=["grid_vote", "xcorr", "pyramid"],
+                   default="grid_vote",
+                   help="alignment family (grid_vote = reference parity)")
     p.add_argument("--weight-switch", type=int, default=10)
     p.add_argument("--region-votes", type=int, default=3)
     p.add_argument("--frame-batch", type=int, default=128)
@@ -63,6 +66,7 @@ def main(argv=None) -> int:
     cfg = PipelineConfig(
         screen_width=args.width,
         screen_height=args.height,
+        matcher=args.matcher,
         match=MatchConfig(
             weight_switch=args.weight_switch,
             region_votes=args.region_votes,
