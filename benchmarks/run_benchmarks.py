@@ -46,6 +46,7 @@ def bench_stream(name, h, w, capacity=768, matcher="grid_vote", seconds=6.0):
     cfg = PipelineConfig(
         screen_width=w, screen_height=h,
         region_capacity=capacity, frame_batch=B, matcher=matcher,
+        join_multiplicity=2,   # flagship protocol; overflow asserted below
     )
     layout = make_layout(w, h, cfg.grid_width, cfg.grid_height,
                          cfg.grid_overlap)
@@ -57,6 +58,7 @@ def bench_stream(name, h, w, capacity=768, matcher="grid_vote", seconds=6.0):
     state = init()
     offs, ok, ovf, state = step(batches[0], state)
     matched = float(np.asarray(ok)[1:].mean())
+    assert not np.asarray(ovf).any(), "join overflow: raise limits"
     np.asarray(offs)
     t0 = time.perf_counter()
     reps = 0
