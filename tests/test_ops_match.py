@@ -105,3 +105,29 @@ def test_join_multiplicity_overflow_flagged():
     res = jkpm.match_tables_jit(prev, curr, layout, weight_switch=10)
     if bool(np.asarray(tabs.valid).sum()) > 16:
         assert bool(np.asarray(res.overflow).any())
+
+
+@pytest.mark.parametrize("mult", [0, 2])
+def test_join_modes_agree(mult):
+    # dense (0) and rolled joins must produce identical declarations
+    rng = np.random.default_rng(77)
+    world = testing.make_world(160, 200, rng, tile=4)
+    frames = [
+        world[20 : 20 + 48, 20 : 20 + 64],
+        world[23 : 23 + 48, 22 : 22 + 64],
+        world[25 : 25 + 48, 25 : 25 + 64],
+    ]
+    layout = make_layout(64, 48, 4, 2, 8)
+    imgs = jnp.asarray(np.stack(frames))
+    dense = jkpe.extract_dense(imgs, layout)
+    tabs = jtab.extract_tables(dense.weight, dense.codes, layout, 2048)
+    prev = jax.tree.map(lambda a: a[:-1], tabs)
+    curr = jax.tree.map(lambda a: a[1:], tabs)
+    res = jkpm.match_tables_jit(
+        prev, curr, layout, weight_switch=10, multiplicity=mult
+    )
+    offs = [tuple(int(v) for v in o) for o in np.asarray(res.offset)]
+    assert np.asarray(res.ok).all()
+    assert offs == [(2, 3), (3, 2)]
+    if mult == 0:
+        assert not np.asarray(res.overflow).any()  # dense never overflows
