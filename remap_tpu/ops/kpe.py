@@ -126,10 +126,14 @@ def extract_dense(
     cannot happen under tracing).
     """
     b, h, w = images.shape
-    # the fused kernel holds ~12 int32 frame planes in VMEM; beyond
-    # C64-size frames (~0.5 MB/plane) it overflows the 16 MB budget and
-    # the XLA formulation takes over (tiling the kernel is future work)
-    if use_pallas and h * w <= 125_000:
+    # the fused kernel holds ~20 int32 planes in VMEM; frames beyond that
+    # dispatch as row bands with a 2-px halo (ops.pallas.extract), so any
+    # realistic capture size stays on the fused path
+    if use_pallas:
+        from remap_tpu.ops.pallas import extract as pext
+
+        use_pallas = pext.supports(h, w)
+    if use_pallas:
         from remap_tpu.ops.pallas import extract as pext
 
         res = pext.extract_dense_raw(images)

@@ -1,25 +1,39 @@
 """Pallas TPU kernel: fused keypoint/median extraction (kpe.hpp's core).
 
-One VMEM-resident pass per frame computes everything ops.kpe.extract_dense
-does — 16-bin ordered histograms over 3x3/5x5 boxes (as shifted adds),
-median-from-top ranks, keypoint weights, and packed descriptor codes —
-without materializing the 16-channel one-hot planes in HBM.  Everything is
-int32 (Mosaic dislikes sub-32-bit layouts; nibble-packed codes reinterpret
-exactly as the uint32 words of spec.kpe.pack_code).
+One VMEM-resident pass per frame (or per row band) computes everything
+ops.kpe.extract_dense does — 16-bin ordered histograms over 3x3/5x5 boxes
+(as shifted adds), median-from-top ranks, keypoint weights, and packed
+descriptor codes — without materializing the 16-channel one-hot planes in
+HBM.  Everything is int32 (Mosaic dislikes sub-32-bit layouts;
+nibble-packed codes reinterpret exactly as the uint32 words of
+spec.kpe.pack_code).
 
 The rank walk is a ``fori_loop`` with explicit carries (five planes), not
 an unrolled chain — unrolling kept every iteration's temporaries live on
 the kernel "stack" and blew the 16 MB VMEM budget on large frames.  The
 ordered->native permutation rides in as a scalar-prefetch table.
 
-Grid: one program per frame.  Border wraparound from the rolled shifts
-only corrupts pixels the wrapper masks out (outside the processed bounds,
-core.regions).
+Two dispatch shapes:
+
+- **whole-frame** (grid = one program per frame) for frames that fit the
+  VMEM working set (~20 int32 planes), i.e. up to ~C64 size;
+- **row-banded** (grid = one program per (frame, band)) for anything
+  larger: frames are split into ``tile_h``-row bands with a 2-px halo on
+  each side (the 5x5 window's reach, kpe.hpp:207-306 streams rows the
+  same way), gathered into an overlapping band stack, and each program
+  writes only its interior rows.  Bit-exact vs the whole-frame kernel
+  within the processed bounds.
+
+Border wraparound from the rolled shifts only corrupts pixels the wrapper
+masks out (outside the processed bounds, core.regions); band halos are
+zero-padded at the frame's top/bottom edges, which also lies outside the
+processed y range.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import functools
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +45,12 @@ from remap_tpu.core import palette
 
 HALF3 = 4   # kpe.hpp:313
 HALF5 = 12  # kpe.hpp:317
+HALO = 2    # kernel half-width: the 5x5 window reaches 2 px (kpe.hpp:16-17)
+
+# max int32 plane elements the whole-frame kernel may hold in VMEM
+# (~20 live planes x 4 B => ~10 MB of the 16 MB budget)
+_SINGLE_CAP = 125_000
+_TILE_CHOICES = (512, 256, 128, 64, 32, 16, 8)
 
 
 def _roll2(a, dy, dx):
@@ -42,8 +62,12 @@ def _roll2(a, dy, dx):
     return a
 
 
-def _extract_kernel(tab_ref, frame_ref, median_ref, weight_ref, codes_ref):
-    frame = frame_ref[0]                    # [H, W] int32 palette codes
+def _compute_planes(tab_ref, frame):
+    """Core fused computation on one [H, W] int32 plane.
+
+    Returns (median, weight, words[4]) full-size planes; rows/cols within
+    HALO of the plane edge are garbage (wraparound), callers mask or crop.
+    """
     zero = jnp.zeros_like(frame)
 
     def rank_step(i, carry):
@@ -78,15 +102,15 @@ def _extract_kernel(tab_ref, frame_ref, median_ref, weight_ref, codes_ref):
     def med_step(r, med):
         return med + jnp.where(p3 == r, tab_ref[r], 0)
 
-    median_ref[0] = jax.lax.fori_loop(0, 16, med_step, zero)
+    median = jax.lax.fori_loop(0, 16, med_step, zero)
 
     is_kp = (p1r != p3) & (p3 != p5)
     weight = jnp.where(
         is_kp, jnp.where(p1r != p5, jnp.int32(2), jnp.int32(1)), 0
     )
-    weight_ref[0] = weight
 
     # packed codes: nibble k of the 5x5 patch -> word k//8, bit 4*(k%8)
+    words = []
     for widx in range(4):
         acc = zero
         for slot in range(8):
@@ -97,7 +121,26 @@ def _extract_kernel(tab_ref, frame_ref, median_ref, weight_ref, codes_ref):
             acc = acc | (_roll2(frame, dy, dx) << (4 * slot))
         if widx == 3:
             acc = acc | (weight << 4)
-        codes_ref[0, widx] = acc
+        words.append(acc)
+    return median, weight, words
+
+
+def _extract_kernel(tab_ref, frame_ref, median_ref, weight_ref, codes_ref):
+    median, weight, words = _compute_planes(tab_ref, frame_ref[0])
+    median_ref[0] = median
+    weight_ref[0] = weight
+    for widx in range(4):
+        codes_ref[0, widx] = words[widx]
+
+
+def _band_kernel(tile_h, tab_ref, band_ref, median_ref, weight_ref,
+                 codes_ref):
+    median, weight, words = _compute_planes(tab_ref, band_ref[0])
+    sl = slice(HALO, HALO + tile_h)
+    median_ref[0] = median[sl]
+    weight_ref[0] = weight[sl]
+    for widx in range(4):
+        codes_ref[0, widx] = words[widx][sl]
 
 
 class PallasExtract(NamedTuple):
@@ -106,9 +149,23 @@ class PallasExtract(NamedTuple):
     codes: jax.Array    # [B, H, W, 4] uint32
 
 
+def pick_tile(h: int, w: int) -> Optional[int]:
+    """Band height for (h, w), or None when the whole frame fits VMEM."""
+    if h * w <= _SINGLE_CAP:
+        return None
+    for tile in _TILE_CHOICES:
+        if tile < h and (tile + 2 * HALO) * w <= _SINGLE_CAP:
+            return tile
+    return None
+
+
+def supports(h: int, w: int) -> bool:
+    """True if some Pallas dispatch shape exists for this frame size."""
+    return h * w <= _SINGLE_CAP or pick_tile(h, w) is not None
+
+
 @jax.jit
-def extract_dense_raw(images: jax.Array) -> PallasExtract:
-    """[B, H, W] uint8 -> unmasked dense extraction (borders garbage)."""
+def _extract_whole(images: jax.Array) -> PallasExtract:
     b, h, w = images.shape
     f32 = images.astype(jnp.int32)
     tab = jnp.asarray(palette.ORDERED_TO_NATIVE.astype(np.int32))
@@ -143,3 +200,71 @@ def extract_dense_raw(images: jax.Array) -> PallasExtract:
         weight=weight.astype(jnp.uint8),
         codes=codes.transpose(0, 2, 3, 1).astype(jnp.uint32),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h",))
+def _extract_banded(images: jax.Array, tile_h: int) -> PallasExtract:
+    """Row-banded dispatch: [B, H, W] -> bands [B*T, tile_h+2*HALO, W]."""
+    b, h, w = images.shape
+    t = -(-h // tile_h)
+    hp = t * tile_h
+    f32 = images.astype(jnp.int32)
+    tab = jnp.asarray(palette.ORDERED_TO_NATIVE.astype(np.int32))
+
+    padded = jnp.pad(f32, ((0, 0), (HALO, hp - h + HALO), (0, 0)))
+    hb = tile_h + 2 * HALO
+    row_idx = np.arange(t)[:, None] * tile_h + np.arange(hb)[None, :]
+    bands = padded[:, jnp.asarray(row_idx), :].reshape(b * t, hb, w)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b * t,),
+        in_specs=[
+            pl.BlockSpec((1, hb, w), lambda i, tab: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile_h, w), lambda i, tab: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_h, w), lambda i, tab: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, tile_h, w), lambda i, tab: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    median, weight, codes = pl.pallas_call(
+        functools.partial(_band_kernel, tile_h),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b * t, tile_h, w), jnp.int32),
+            jax.ShapeDtypeStruct((b * t, tile_h, w), jnp.int32),
+            jax.ShapeDtypeStruct((b * t, 4, tile_h, w), jnp.int32),
+        ),
+    )(tab, bands)
+
+    median = median.reshape(b, hp, w)[:, :h]
+    weight = weight.reshape(b, hp, w)[:, :h]
+    codes = (
+        codes.reshape(b, t, 4, tile_h, w)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(b, 4, hp, w)[:, :, :h]
+    )
+    return PallasExtract(
+        median=median.astype(jnp.uint8),
+        weight=weight.astype(jnp.uint8),
+        codes=codes.transpose(0, 2, 3, 1).astype(jnp.uint32),
+    )
+
+
+def extract_dense_raw(
+    images: jax.Array, band_h: Optional[int] = None
+) -> PallasExtract:
+    """[B, H, W] uint8 -> unmasked dense extraction (borders garbage).
+
+    Dispatches whole-frame for VMEM-sized frames, row-banded beyond
+    (``band_h`` forces a specific band height — used by tests)."""
+    _, h, w = images.shape
+    tile = band_h if band_h is not None else pick_tile(h, w)
+    if tile is None:
+        return _extract_whole(images)
+    return _extract_banded(images, tile_h=tile)

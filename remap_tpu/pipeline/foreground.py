@@ -74,7 +74,7 @@ def filter_fragments(
                 jnp.asarray(apos),
                 area_divisor=cfg.fde_area_divisor,
                 compute_medians=recompute,
-                use_pallas=use_pallas and fh * fw <= 125_000,
+                use_pallas=use_pallas,
             )
             # padding frames must vote nowhere
             if n_real < b:

@@ -65,6 +65,42 @@ def test_blit_kernel_accumulates(interpret_pallas):
     assert int(np.asarray(d2)[3, 0, 0]) == 4
 
 
+def test_extract_banded_matches_xla(interpret_pallas):
+    """Row-banded dispatch (band_h forced small) == XLA, even when the
+    band height does not divide the frame height."""
+    from remap_tpu.core.regions import make_layout
+    from remap_tpu.ops import kpe as jkpe
+    from remap_tpu.ops.pallas import extract as pext
+
+    rng = np.random.default_rng(7)
+    imgs = rng.integers(0, 16, size=(2, 50, 64), dtype=np.uint8)
+    layout = make_layout(64, 50, 4, 2, 8)
+    ref = jkpe.extract_dense(jnp.asarray(imgs), layout)
+    out = pext.extract_dense_raw(jnp.asarray(imgs), band_h=16)
+    x_lo, x_hi = layout.x_proc
+    y_lo, y_hi = layout.y_proc
+    sl = np.s_[:, y_lo:y_hi, x_lo:x_hi]
+    np.testing.assert_array_equal(
+        np.asarray(out.median)[sl], np.asarray(ref.median)[sl]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.weight)[sl], np.asarray(ref.weight)[sl]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.codes)[sl], np.asarray(ref.codes)[sl]
+    )
+
+
+def test_extract_tile_selection():
+    from remap_tpu.ops.pallas import extract as pext
+
+    assert pext.pick_tile(240, 256) is None          # fits whole
+    tile = pext.pick_tile(480, 640)                  # VGA must band
+    assert tile is not None and (tile + 4) * 640 <= 125_000
+    assert pext.supports(480, 640)
+    assert pext.supports(312, 388)
+
+
 def test_extract_kernel_matches_xla(interpret_pallas):
     from remap_tpu.core.regions import make_layout
     from remap_tpu.ops import kpe as jkpe
