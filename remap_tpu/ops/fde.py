@@ -39,16 +39,19 @@ def foreground_mask(
     median: jax.Array,      # [H, W] uint8
     changed: jax.Array,     # [H, W] bool (equality mask inverted)
     area_limit: int,
+    labels: jax.Array | None = None,   # [H, W] int32 CC labels (optional)
 ) -> jax.Array:
     """[H, W] bool — the fde::mask foreground (True = masked out).
 
-    Per-component stats use XLA segment ops.  (A sort + segmented
-    associative-scan formulation ran ~2x faster per frame but its XLA
-    program took >20 min to compile on the remote Mosaic/XLA service vs
-    ~2 min for this one — a losing trade; see git history f853c10.)"""
+    Per-component stats use XLA segment ops (separate scatters — a
+    lane-stacked single segment_max measured 10x *slower* on device; a
+    sort + segmented associative-scan formulation ran ~2x faster per
+    frame but took >20 min to compile on the remote XLA service vs ~2 min
+    for this one — see git history f853c10)."""
     h, w = median.shape
     big = h * w
-    labels = cc.label_components(median)
+    if labels is None:
+        labels = cc.label_components(median)
     flat = labels.reshape(-1)
     safe = jnp.clip(flat, 0, big - 1)
     interior = flat < big
@@ -122,8 +125,17 @@ def extract_batch(
         layout = make_layout(w, h, 1, 1, 0)
         medians = kpe_ops.extract_dense(frames, layout, use_pallas).median
 
-    def one(frame, median, pos):
-        eq = equality_mask(background, frame, pos)
-        return foreground_mask(median, ~eq, limit)
+    labels = None
+    if use_pallas:
+        from remap_tpu.ops.pallas import cc as pcc
 
-    return jax.vmap(one)(frames, medians, positions).astype(jnp.uint8)
+        if pcc.supports(h, w):
+            labels = pcc.label_components_batch(medians)
+
+    def one(frame, median, pos, lab):
+        eq = equality_mask(background, frame, pos)
+        return foreground_mask(median, ~eq, limit, labels=lab)
+
+    if labels is None:
+        labels = jax.vmap(cc.label_components)(medians)
+    return jax.vmap(one)(frames, medians, positions, labels).astype(jnp.uint8)

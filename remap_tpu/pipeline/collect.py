@@ -328,10 +328,14 @@ def collect(
             if cfg.join_multiplicity == 0 or cfg.join_multiplicity >= 16
             else cfg.join_multiplicity * 4
         )
+        # halve the batch alongside: join working-set memory scales with
+        # batch x capacity x multiplicity, so the escalated replay trades
+        # throughput for a bounded device footprint instead of OOMing
         cfg = dataclasses.replace(
             cfg,
             region_capacity=cfg.region_capacity * 2,
             join_multiplicity=next_mult,
+            frame_batch=max(8, cfg.frame_batch // 2),
         )
         replay = (store.image(i) for i in range(len(store)))
         offsets, matched, overflow = match_pass(replay, layout, cfg, None)

@@ -65,6 +65,34 @@ def test_blit_kernel_accumulates(interpret_pallas):
     assert int(np.asarray(d2)[3, 0, 0]) == 4
 
 
+def test_cc_kernel_matches_xla(interpret_pallas):
+    """Segmented-scan CC labels == pointer-jump XLA labels, including a
+    spiral (worst case for propagation reach)."""
+    from remap_tpu.ops import cc
+    from remap_tpu.ops.pallas import cc as pcc
+
+    rng = np.random.default_rng(11)
+    cases = [
+        np.kron(
+            rng.integers(0, 4, (8, 10), np.uint8), np.ones((6, 6), np.uint8)
+        )[:40, :56],
+        rng.integers(0, 3, (40, 56)).astype(np.uint8),
+        np.zeros((40, 56), np.uint8),
+    ]
+    spiral = np.zeros((33, 48), np.uint8)
+    spiral[::4, :] = 1
+    for i, r in enumerate(range(0, 33, 4)):
+        spiral[r, -2 if i % 2 == 0 else 1] = 0
+    cases.append(spiral)
+
+    for img in cases:
+        ref = np.asarray(cc.label_components(jnp.asarray(img)))
+        out = np.asarray(
+            pcc.label_components_batch(jnp.asarray(img[None]))
+        )[0]
+        np.testing.assert_array_equal(out, ref)
+
+
 def test_extract_banded_matches_xla(interpret_pallas):
     """Row-banded dispatch (band_h forced small) == XLA, even when the
     band height does not divide the frame height."""
