@@ -83,20 +83,20 @@ def main():
     # warmup/compile + correctness sniff: all matched, nothing overflowed
     # (overflow would mean the static join limits truncated vote counts)
     state = init_state()
-    offs, matched, overflow, state = step(batches[0], state)
+    offs, matched, overflow, strayed, state = step(batches[0], state)
     matched_frac = float(np.asarray(matched)[1:].mean())
     assert not np.asarray(overflow).any(), "join overflow: raise limits"
 
     best = 0.0
     for _trial in range(3):
         state = init_state()
-        offs, matched, overflow, state = step(batches[0], state)
+        offs, matched, overflow, strayed, state = step(batches[0], state)
         np.asarray(matched)  # sync before timing
         t0 = time.perf_counter()
         reps = 0
         while time.perf_counter() - t0 < 8.0:
             for _ in range(PIPELINE):
-                offs, matched, overflow, state = step(
+                offs, matched, overflow, strayed, state = step(
                     batches[reps % N_BATCHES], state
                 )
                 reps += 1

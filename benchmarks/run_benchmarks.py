@@ -56,7 +56,7 @@ def bench_stream(name, h, w, capacity=768, matcher="grid_vote", seconds=6.0):
     batches = [jax.device_put(x) for x in np.split(frames, 4, axis=0)]
 
     state = init()
-    offs, ok, ovf, state = step(batches[0], state)
+    offs, ok, ovf, strayed, state = step(batches[0], state)
     matched = float(np.asarray(ok)[1:].mean())
     assert not np.asarray(ovf).any(), "join overflow: raise limits"
     np.asarray(offs)
@@ -64,7 +64,7 @@ def bench_stream(name, h, w, capacity=768, matcher="grid_vote", seconds=6.0):
     reps = 0
     while time.perf_counter() - t0 < seconds:
         for _ in range(4):
-            offs, ok, ovf, state = step(batches[reps % 4], state)
+            offs, ok, ovf, strayed, state = step(batches[reps % 4], state)
             reps += 1
         np.asarray(offs)
     fps = reps * B / (time.perf_counter() - t0)

@@ -45,6 +45,14 @@ def make_parser() -> argparse.ArgumentParser:
                    help="print per-stage fps counters")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
+    p.add_argument("--distributed", action="store_true",
+                   help="join a multi-host (DCN) runtime before any device "
+                        "use; on TPU pods the parameters below are "
+                        "auto-detected")
+    p.add_argument("--coordinator", default=None,
+                   help="coordination service address host:port")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p
 
 
@@ -55,6 +63,14 @@ def main(argv=None) -> int:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.distributed:
+        from remap_tpu.parallel import distributed
+
+        distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
     from remap_tpu.utils.runtime import setup_cache
 
     setup_cache()

@@ -174,6 +174,24 @@ class StreamState(NamedTuple):
     carry: object         # RegionTables of the previous batch's last frame
     position: jax.Array   # [2] int32 running position
     started: jax.Array    # [] bool — false before the first frame
+    anchor: jax.Array     # [2] int32 stream coords of the atlas origin
+
+
+def _shift_atlas(dots: jax.Array, delta: jax.Array) -> jax.Array:
+    """out[c, y, x] = dots[c, y + dy, x + dx], zero-filled at the edges.
+
+    The on-device re-anchor: when the camera drifts toward the stitch
+    window's edge, the resident atlas slides under it (an in-HBM copy, no
+    host round-trip) instead of clamping positions (ROADMAP item)."""
+    _, hh, ww = dots.shape
+    dy, dx = delta[1], delta[0]
+    yi = jnp.arange(hh)
+    xi = jnp.arange(ww)
+    out = jnp.roll(dots, -dy, axis=1)
+    out = jnp.where(((yi + dy >= 0) & (yi + dy < hh))[None, :, None], out, 0)
+    out = jnp.roll(out, -dx, axis=2)
+    out = jnp.where(((xi + dx >= 0) & (xi + dx < ww))[None, None, :], out, 0)
+    return out
 
 
 def make_streaming_step(layout: GridLayout, cfg: PipelineConfig,
@@ -188,6 +206,15 @@ def make_streaming_step(layout: GridLayout, cfg: PipelineConfig,
     tables), accumulates positions with fragment-break resets, and blits
     into the resident stitch window.  Only the per-frame offsets/flags
     return to the host.
+
+    The stitch window follows the camera: when a batch's positions leave
+    the resident window, the atlas is shifted in-device (``_shift_atlas``)
+    and the anchor updated, so arbitrarily long drifts stitch exactly.
+    Only when one batch's position span exceeds the window itself (e.g. a
+    long drift plus a mid-batch fragment-break reset to (0,0)) do
+    positions clamp — and then the returned ``strayed`` flag fires so the
+    host can seal the window and restart (pipeline.stream does the
+    host-store variant of that recovery).
     """
     h, w = layout.height, layout.width
     ah, aw = h + 2 * atlas_pad, w + 2 * atlas_pad
@@ -217,6 +244,7 @@ def make_streaming_step(layout: GridLayout, cfg: PipelineConfig,
             carry=carry,
             position=jnp.zeros((2,), jnp.int32),
             started=jnp.zeros((), bool),
+            anchor=jnp.full((2,), -atlas_pad, jnp.int32),
         )
 
     def step(images: jax.Array, state: StreamState):
@@ -250,14 +278,31 @@ def make_streaming_step(layout: GridLayout, cfg: PipelineConfig,
         before_break = (jnp.cumsum(~matched) == 0)[:, None]
         pos = seg + jnp.where(before_break, state.position[None], 0)
 
-        anchored = jnp.clip(
-            pos + atlas_pad, 0, jnp.array([aw - w, ah - h], jnp.int32)
+        # Re-anchor the resident window under the batch's position span.
+        limit = jnp.array([aw - w, ah - h], jnp.int32)
+        lo = pos.min(axis=0)
+        hi = pos.max(axis=0)
+        rel_lo = lo - state.anchor
+        rel_hi = hi - state.anchor
+        fits = hi - lo <= limit
+        strayed = jnp.any(~fits)
+        out_of_window = (rel_lo < 0) | (rel_hi > limit)
+        # center the span in the window on each violated axis
+        centered = (rel_lo + rel_hi - limit) // 2
+        delta = jnp.where(out_of_window & fits, centered, 0)
+        anchor = state.anchor + delta
+        dots0 = jax.lax.cond(
+            jnp.any(delta != 0),
+            lambda d: _shift_atlas(d, delta),
+            lambda d: d,
+            state.dots,
         )
+        anchored = jnp.clip(pos - anchor, 0, limit)
 
         vote_ok = jnp.ones((t, h, w), jnp.uint8)
         if use_pallas:
             dots = pblit.blit_frames(
-                images, vote_ok, anchored, ah, aw, dots=state.dots
+                images, vote_ok, anchored, ah, aw, dots=dots0
             )
         else:
             def body(dots, inp):
@@ -272,15 +317,16 @@ def make_streaming_step(layout: GridLayout, cfg: PipelineConfig,
                     )
                 return dots, None
 
-            dots, _ = jax.lax.scan(body, state.dots, (images, anchored))
+            dots, _ = jax.lax.scan(body, dots0, (images, anchored))
 
         new_state = StreamState(
             dots=dots,
             carry=jax.tree.map(lambda a: a[-1:], tabs),
             position=pos[-1],
             started=jnp.ones((), bool),
+            anchor=anchor,
         )
-        return offsets, matched, overflow, new_state
+        return offsets, matched, overflow, strayed, new_state
 
     return init_state, step
 

@@ -60,6 +60,73 @@ def test_sharded_step_matches_single_device():
     np.testing.assert_array_equal(np.asarray(rs.atlas), np.asarray(rp.atlas))
 
 
+def test_streaming_reanchors_on_long_drift():
+    """A drift far past atlas_pad must stitch exactly: the resident atlas
+    shifts in-device under the camera instead of clamping positions."""
+    rng = np.random.default_rng(7)
+    world = testing.make_world(160, 224, rng)
+    # monotonic rightward drift: 24 frames x 3 px = 69 px >> 2*pad (32)
+    path = [(8 + 3 * i, 40) for i in range(24)]
+    clip = testing.render_clip(world, path, (64, 96))
+    frames = np.stack(clip.frames)
+
+    pad = 16
+    init, step = make_streaming_step(LAYOUT, CFG, atlas_pad=pad,
+                                     use_pallas=False)
+    step = jax.jit(step)
+    state = init()
+    for i in range(0, 24, 4):
+        offs, ok, ovf, strayed, state = step(
+            jnp.asarray(frames[i : i + 4]), state
+        )
+        assert not bool(np.asarray(strayed))
+        assert not bool(np.asarray(ovf).any())
+
+    anchor = np.asarray(state.anchor)
+    dots = np.asarray(state.dots)  # [16, HP, WP]
+    votes = dots.sum(axis=0)
+    covered = votes > 0
+    assert covered.any()
+    blend = dots.argmax(axis=0)
+    # stream coord = atlas coord + anchor; world coord = stream + path[0]
+    ys, xs = np.nonzero(covered)
+    wy = ys + anchor[1] + path[0][1]
+    wx = xs + anchor[0] + path[0][0]
+    np.testing.assert_array_equal(blend[ys, xs], world[wy, wx])
+    # the window really did move: the final frame's position (69, 0)
+    # could not have fit the unshifted [0, 2*pad] window
+    assert anchor[0] > -pad
+
+
+def test_streaming_strays_on_window_overflow():
+    """A batch whose position span exceeds the window (long drift + a
+    mid-batch fragment break resetting to (0,0)) must flag ``strayed``."""
+    rng = np.random.default_rng(8)
+    world = testing.make_world(160, 224, rng)
+    path = [(8 + 3 * i, 40) for i in range(21)]
+    clip = testing.render_clip(world, path, (64, 96))
+    frames = list(clip.frames)
+    # noise frames break the match chain -> position resets to (0, 0) in
+    # the same batch as the drifted frame 20 (stream position x=60)
+    frames.append(rng.integers(0, 16, (64, 96), dtype=np.uint8))
+    frames.append(frames[-1].copy())
+    frames.append(frames[-1].copy())
+    frames = np.stack(frames)
+
+    init, step = make_streaming_step(LAYOUT, CFG, atlas_pad=16,
+                                     use_pallas=False)
+    step = jax.jit(step)
+    state = init()
+    flags = []
+    for i in range(0, 24, 4):
+        offs, ok, ovf, strayed, state = step(
+            jnp.asarray(frames[i : i + 4]), state
+        )
+        flags.append(bool(np.asarray(strayed)))
+    assert not any(flags[:-1])
+    assert flags[-1]
+
+
 def test_streaming_equals_batch_collect():
     from remap_tpu.pipeline import collect as jcollect
 
@@ -75,7 +142,7 @@ def test_streaming_equals_batch_collect():
     ok_all = []
     for i in range(0, 12, 4):
         batch = jnp.asarray(np.stack(clip.frames[i : i + 4]))
-        offs, ok, ovf, state = step(batch, state)
+        offs, ok, ovf, strayed, state = step(batch, state)
         assert not bool(np.asarray(ovf).any())
         offs_all.extend(tuple(int(v) for v in o) for o in np.asarray(offs))
         ok_all.extend(bool(v) for v in np.asarray(ok))
