@@ -24,6 +24,9 @@ import jax.numpy as jnp
 
 from remap_tpu.ops import cc
 
+#: max kept-component roots per frame for the compacted bbox fill
+_ROOT_CAP = 1024
+
 
 def equality_mask(
     background: jax.Array,  # [HB, WB] uint8
@@ -125,17 +128,93 @@ def extract_batch(
         layout = make_layout(w, h, 1, 1, 0)
         medians = kpe_ops.extract_dense(frames, layout, use_pallas).median
 
-    labels = None
+    changed = jax.vmap(
+        lambda f, p: ~equality_mask(background, f, p)
+    )(frames, positions)
+
     if use_pallas:
         from remap_tpu.ops.pallas import cc as pcc
 
+        if pcc.supports_stats(h, w):
+            labels, stats = pcc.label_stats_batch(medians, changed)
+            return _masks_from_stats(labels, stats, limit).astype(jnp.uint8)
         if pcc.supports(h, w):
             labels = pcc.label_components_batch(medians)
-
-    def one(frame, median, pos, lab):
-        eq = equality_mask(background, frame, pos)
-        return foreground_mask(median, ~eq, limit, labels=lab)
-
-    if labels is None:
+        else:
+            labels = jax.vmap(cc.label_components)(medians)
+    else:
         labels = jax.vmap(cc.label_components)(medians)
-    return jax.vmap(one)(frames, medians, positions, labels).astype(jnp.uint8)
+
+    return jax.vmap(
+        lambda median, chg, lab: foreground_mask(
+            median, chg, limit, labels=lab
+        )
+    )(medians, changed, labels).astype(jnp.uint8)
+
+
+def _masks_from_stats(
+    labels: jax.Array,   # [B, H, W] int32
+    stats: jax.Array,    # [B, 5, H, W] int32 (minx, miny, maxx, maxy, chg)
+    area_limit: int,
+) -> jax.Array:
+    """Batched fde::mask from per-pixel component stats.
+
+    With bbox/changed propagated in the CC kernel, the XLA side needs
+    only the component areas (one segment_sum + one gather) and the bbox
+    difference-array fill; fills use [miny, maxy) x [minx, maxx) — the
+    reference's inclusive-bounds-treated-as-exclusive quirk
+    (fde.hpp:122-146)."""
+    b, h, w = labels.shape
+    big = h * w
+    flat = labels.reshape(b, -1)
+    safe = jnp.clip(flat, 0, big - 1)
+    interior = flat < big
+
+    area_seg = jax.vmap(
+        lambda s, i: jax.ops.segment_sum(
+            jnp.where(i, 1, 0), s, num_segments=big
+        )
+    )(safe, interior)
+    area_pix = jnp.take_along_axis(area_seg, safe, axis=1)
+
+    chg_pix = stats[:, 4].reshape(b, -1) > 0
+    kept = interior & chg_pix & (area_pix <= area_limit)
+
+    iota = jnp.arange(big, dtype=jnp.int32)[None]
+    is_root = kept & (flat == iota)
+    upd = jnp.where(is_root, 1, 0)
+
+    t = jnp.clip(stats[:, 1].reshape(b, -1), 0, h)
+    b_ = jnp.clip(stats[:, 3].reshape(b, -1), 0, h)
+    l_ = jnp.clip(stats[:, 0].reshape(b, -1), 0, w)
+    r_ = jnp.clip(stats[:, 2].reshape(b, -1), 0, w)
+
+    def fill(u, tt, bb, ll, rr):
+        diff = jnp.zeros((h + 1, w + 1), jnp.int32)
+        diff = diff.at[tt, ll].add(u)
+        diff = diff.at[tt, rr].add(-u)
+        diff = diff.at[bb, ll].add(-u)
+        diff = diff.at[bb, rr].add(u)
+        return jnp.cumsum(jnp.cumsum(diff, axis=0), axis=1)[:h, :w] > 0
+
+    def fill_exact(args):
+        return jax.vmap(fill)(*args)
+
+    def fill_topk(args):
+        # roots are sparse (one per kept component): compact them with
+        # top_k so the difference-array scatter runs on K entries instead
+        # of H*W (all roots rank above non-roots, so every root is
+        # selected whenever the count fits)
+        u, tt, bb, ll, rr = args
+        vals, idx = jax.lax.top_k(u, _ROOT_CAP)
+        g = lambda a: jnp.take_along_axis(a, idx, axis=1)
+        return jax.vmap(fill)(vals, g(tt), g(bb), g(ll), g(rr))
+
+    args = (upd, t, b_, l_, r_)
+    # exactness guard: if any frame has more roots than the compaction
+    # cap (pathological inputs), the full-size scatter runs instead —
+    # a runtime branch, so the common case never pays for it
+    inside = jax.lax.cond(
+        jnp.any(upd.sum(axis=1) > _ROOT_CAP), fill_exact, fill_topk, args
+    )
+    return kept.reshape(b, h, w) | inside

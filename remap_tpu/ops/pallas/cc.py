@@ -33,33 +33,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _cc_kernel(img_ref, lab_ref):
-    img = img_ref[0]
+def _cc_core(img, values):
+    """Run the segmented-scan min-propagation fixpoint.
+
+    ``values`` is a tuple of int32 planes, each propagated with MIN over
+    equal-valued 4-connectivity (propagate a negated plane for MAX).  The
+    fixpoint is checked across ALL planes: label values can stabilize
+    before a slower-travelling stat (e.g. a far corner's bbox extent)
+    finishes crossing the component."""
     h, w = img.shape
     big = h * w
 
     yi = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xi = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     interior = (yi > 0) & (yi < h - 1) & (xi > 0) & (xi < w - 1)
-
     im = jnp.where(interior, img, -1)
-    lab0 = jnp.where(interior, yi * w + xi, big)
 
     def shift_fwd(a, s, axis, fill):
-        """out[i] = a[i - s] along axis (fill for i < s)."""
         r = jnp.roll(a, s, axis)
         idx = yi if axis == 0 else xi
         return jnp.where(idx >= s, r, fill)
 
     def shift_bwd(a, s, axis, fill):
-        """out[i] = a[i + s] along axis (fill for i >= len - s)."""
         r = jnp.roll(a, -s, axis)
         idx = yi if axis == 0 else xi
         n = h if axis == 0 else w
         return jnp.where(idx < n - s, r, fill)
 
-    # run-start / run-end flags per axis (value changes delimit runs);
-    # flags ride as int32 0/1 planes — Mosaic dislikes rolled i1 vectors
     one = jnp.int32(1)
 
     def flags(axis):
@@ -73,38 +73,87 @@ def _cc_kernel(img_ref, lab_ref):
     rs_start, rs_end = flags(1)
     cs_start, cs_end = flags(0)
 
-    def seg_min(l, axis, start, end):
-        """Min label over each pixel's maximal equal-valued run."""
+    def seg_min_multi(vals, axis, start, end):
         n = w if axis == 1 else h
-        # forward segmented inclusive min-scan
-        vf, ff = l, start
-        s = 1
-        while s < n:
-            vs = shift_fwd(vf, s, axis, big)
-            fs = shift_fwd(ff, s, axis, one)
-            vf = jnp.where(ff != 0, vf, jnp.minimum(vf, vs))
-            ff = jnp.maximum(ff, fs)
-            s *= 2
-        # backward segmented inclusive min-scan
-        vb, fb = l, end
-        s = 1
-        while s < n:
-            vs = shift_bwd(vb, s, axis, big)
-            fs = shift_bwd(fb, s, axis, one)
-            vb = jnp.where(fb != 0, vb, jnp.minimum(vb, vs))
-            fb = jnp.maximum(fb, fs)
-            s *= 2
-        return jnp.minimum(vf, vb)
+        outs = []
+        for l in vals:
+            vf, ff = l, start
+            s = 1
+            while s < n:
+                vs = shift_fwd(vf, s, axis, big)
+                fs = shift_fwd(ff, s, axis, one)
+                vf = jnp.where(ff != 0, vf, jnp.minimum(vf, vs))
+                ff = jnp.maximum(ff, fs)
+                s *= 2
+            vb, fb = l, end
+            s = 1
+            while s < n:
+                vs = shift_bwd(vb, s, axis, big)
+                fs = shift_bwd(fb, s, axis, one)
+                vb = jnp.where(fb != 0, vb, jnp.minimum(vb, vs))
+                fb = jnp.maximum(fb, fs)
+                s *= 2
+            outs.append(jnp.minimum(vf, vb))
+        return tuple(outs)
 
     def body(state):
-        l, _ = state
-        l1 = seg_min(l, 1, rs_start, rs_end)
-        l2 = seg_min(l1, 0, cs_start, cs_end)
-        return l2, jnp.any(l2 != l)
+        vals, _ = state
+        v1 = seg_min_multi(vals, 1, rs_start, rs_end)
+        v2 = seg_min_multi(v1, 0, cs_start, cs_end)
+        changed = False
+        for a, b in zip(v2, vals):
+            changed = jnp.logical_or(changed, jnp.any(a != b))
+        return v2, changed
 
-    first = body((lab0, jnp.bool_(True)))
-    lab, _ = jax.lax.while_loop(lambda s: s[1], body, first)
+    init = tuple(jnp.where(interior, v, big) for v in values)
+    first = body((init, jnp.bool_(True)))
+    vals, _ = jax.lax.while_loop(lambda s: s[1], body, first)
+    return vals, interior, yi, xi
+
+
+def _cc_kernel(img_ref, lab_ref):
+    img = img_ref[0]
+    h, w = img.shape
+    big = h * w
+    yi = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    (lab,), interior, _, _ = _cc_core(img, (yi * w + xi,))
     lab_ref[0] = jnp.where(interior, lab, big)
+
+
+def _cc_mins_kernel(img_ref, lab_ref, mins_ref):
+    """Labels + component (minx, miny) in one fixpoint.
+
+    Per-pixel bbox/changed stats are idempotent lattice joins, so they
+    ride the same min-propagation as the labels (negated for the
+    max-algebra planes).  They replace five XLA segment scatters per
+    frame (measured ~170 ms per 64-frame batch) with in-VMEM work; the
+    six planes split across two kernels because one 6-plane fixpoint
+    overflows the 16 MB VMEM budget at NES size."""
+    img = img_ref[0]
+    h, w = img.shape
+    big = h * w
+    yi = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    (lab, minx, miny), interior, _, _ = _cc_core(
+        img, (yi * w + xi, xi, yi)
+    )
+    lab_ref[0] = jnp.where(interior, lab, big)
+    mins_ref[0, 0] = minx
+    mins_ref[0, 1] = miny
+
+
+def _cc_maxs_kernel(img_ref, chg_ref, maxs_ref):
+    """Component (maxx, maxy, has_changed) — see _cc_mins_kernel."""
+    img = img_ref[0]
+    chg = chg_ref[0]
+    h, w = img.shape
+    yi = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    (nmaxx, nmaxy, nchg), _, _, _ = _cc_core(img, (-xi, -yi, -chg))
+    maxs_ref[0, 0] = -nmaxx
+    maxs_ref[0, 1] = -nmaxy
+    maxs_ref[0, 2] = -nchg
 
 
 @jax.jit
@@ -128,9 +177,58 @@ def label_components_batch(images: jax.Array) -> jax.Array:
     )(i32)
 
 
-# VMEM working set: ~8 int32 planes + scan temporaries
+# VMEM working sets in lane-padded plane elements: the label-only kernel
+# holds ~8 int32 planes + scan temporaries, the stats variant ~16
 _CC_CAP = 250_000
+_CC_STATS_CAP = 140_000
+
+
+def _padded(h: int, w: int) -> int:
+    return h * (-(-w // 128) * 128)
 
 
 def supports(h: int, w: int) -> bool:
-    return h * w <= _CC_CAP
+    return _padded(h, w) <= _CC_CAP
+
+
+def supports_stats(h: int, w: int) -> bool:
+    return _padded(h, w) <= _CC_STATS_CAP
+
+
+@jax.jit
+def label_stats_batch(images: jax.Array, changed: jax.Array):
+    """[B, H, W] medians + [B, H, W] changed -> (labels, stats).
+
+    labels as in ``label_components_batch``; stats [B, 5, H, W] int32 =
+    per-pixel component (minx, miny, maxx, maxy, has_changed) — garbage
+    on the border (no component)."""
+    b, h, w = images.shape
+    i32 = images.astype(jnp.int32)
+    c32 = changed.astype(jnp.int32)
+
+    block = lambda *shape: pl.BlockSpec(
+        shape, lambda i: (i,) + (0,) * (len(shape) - 1),
+        memory_space=pltpu.VMEM,
+    )
+    labels, mins = pl.pallas_call(
+        _cc_mins_kernel,
+        grid=(b,),
+        in_specs=[block(1, h, w)],
+        out_specs=(block(1, h, w), block(1, 2, h, w)),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+            jax.ShapeDtypeStruct((b, 2, h, w), jnp.int32),
+        ),
+    )(i32)
+    maxs = pl.pallas_call(
+        _cc_maxs_kernel,
+        grid=(b,),
+        in_specs=[block(1, h, w), block(1, h, w)],
+        out_specs=block(1, 3, h, w),
+        out_shape=jax.ShapeDtypeStruct((b, 3, h, w), jnp.int32),
+    )(i32, c32)
+    stats = jnp.concatenate(
+        [mins[:, :1], mins[:, 1:2], maxs[:, :1], maxs[:, 1:2], maxs[:, 2:]],
+        axis=1,
+    )
+    return labels, stats

@@ -48,9 +48,11 @@ HALF5 = 12  # kpe.hpp:317
 HALO = 2    # kernel half-width: the 5x5 window reaches 2 px (kpe.hpp:16-17)
 
 # max int32 plane elements the whole-frame kernel may hold in VMEM
-# (~20 live planes x 4 B => ~10 MB of the 16 MB budget)
-_SINGLE_CAP = 125_000
-_TILE_CHOICES = (512, 256, 128, 64, 32, 16, 8)
+# (~20 live planes x 4 B => ~10 MB of the 16 MB budget), measured in
+# LANE-PADDED elements: Mosaic pads the last dim to 128 lanes, so a
+# 312x388 frame occupies 312x512 (the padding is what tipped C64-size
+# whole-frame dispatches 8 KB over the 16 MB budget)
+_SINGLE_CAP = 120_000
 
 
 def _roll2(a, dy, dx):
@@ -62,36 +64,54 @@ def _roll2(a, dy, dx):
     return a
 
 
-def _compute_planes(tab_ref, frame):
+def _compute_planes(tab_ref, frame, emit):
     """Core fused computation on one [H, W] int32 plane.
 
-    Returns (median, weight, words[4]) full-size planes; rows/cols within
-    HALO of the plane edge are garbage (wraparound), callers mask or crop.
+    Rows/cols within HALO of the plane edge are garbage (wraparound),
+    callers mask or crop.  Results stream out through ``emit(kind, plane)``
+    with kind in {"median", "weight", 0..3} — writing each plane as it is
+    produced keeps the VMEM working set small (holding all four code
+    words live tipped C64-size frames over the 16 MB budget).
+
+    Histograms ride **bit-packed**: the 16 ordered-rank bins live as
+    5-bit fields (max window count 25 < 32) packed six-per-int32 across
+    three planes, so the separable 3x3/5x5 window sums run once over 3
+    planes instead of once per rank — the TPU form of the reference's
+    two-histograms-in-one-__m256i trick (kpe.hpp:20-66), rotated from
+    16xuint8 lanes into 6x5-bit fields.  The median rank walk then
+    unpacks counts top-down as straight-line code (no loop carries).
     """
     zero = jnp.zeros_like(frame)
 
-    def rank_step(i, carry):
-        cge3, cge5, p3cnt, p5cnt, p1r = carry
-        r = 15 - i
-        nat = tab_ref[r]                    # ordered rank -> native code
-        oh = jnp.where(frame == nat, jnp.int32(1), jnp.int32(0))
-        p1r = p1r + r * oh
+    # equality masks drive both the rank image and the packed one-hots
+    p1r = zero
+    packed = [zero, zero, zero]
+    for r in range(16):
+        eq = jnp.where(frame == tab_ref[r], jnp.int32(1), jnp.int32(0))
+        if r:
+            p1r = p1r + r * eq
+        j, off = divmod(r, 6)
+        packed[j] = packed[j] + (eq << (5 * off))
 
-        row3 = oh + _roll2(oh, 0, -1) + _roll2(oh, 0, 1)
-        row5 = row3 + _roll2(oh, 0, -2) + _roll2(oh, 0, 2)
+    def boxsums(p):
+        row3 = p + _roll2(p, 0, -1) + _roll2(p, 0, 1)
+        row5 = row3 + _roll2(p, 0, -2) + _roll2(p, 0, 2)
         box3 = row3 + _roll2(row3, -1, 0) + _roll2(row3, 1, 0)
         box5 = row5 + _roll2(row5, -1, 0) + _roll2(row5, 1, 0)
         box5 = box5 + _roll2(row5, -2, 0) + _roll2(row5, 2, 0)
+        return box3, box5
 
-        cge3 = cge3 + box3
-        cge5 = cge5 + box5
-        p3cnt = p3cnt + jnp.where(cge3 >= HALF3, 1, 0)
-        p5cnt = p5cnt + jnp.where(cge5 >= HALF5, 1, 0)
-        return cge3, cge5, p3cnt, p5cnt, p1r
+    sums = [boxsums(p) for p in packed]
 
-    _, _, p3cnt, p5cnt, p1r = jax.lax.fori_loop(
-        0, 16, rank_step, (zero, zero, zero, zero, zero)
-    )
+    # median-from-top: unpack each rank's 5-bit count, accumulate
+    # cnt_ge, count ranks where cnt_ge >= half (kpe.hpp:326-340)
+    acc3, acc5, p3cnt, p5cnt = zero, zero, zero, zero
+    for r in range(15, -1, -1):
+        j, off = divmod(r, 6)
+        acc3 = acc3 + ((sums[j][0] >> (5 * off)) & 31)
+        acc5 = acc5 + ((sums[j][1] >> (5 * off)) & 31)
+        p3cnt = p3cnt + jnp.where(acc3 >= HALF3, 1, 0)
+        p5cnt = p5cnt + jnp.where(acc5 >= HALF5, 1, 0)
 
     # cnt_ge(r) >= half holds exactly for r <= median rank (descending
     # accumulation), so the true count is rank + 1 (kpe.hpp:326-340)
@@ -103,14 +123,15 @@ def _compute_planes(tab_ref, frame):
         return med + jnp.where(p3 == r, tab_ref[r], 0)
 
     median = jax.lax.fori_loop(0, 16, med_step, zero)
+    emit("median", median)
 
     is_kp = (p1r != p3) & (p3 != p5)
     weight = jnp.where(
         is_kp, jnp.where(p1r != p5, jnp.int32(2), jnp.int32(1)), 0
     )
+    emit("weight", weight)
 
     # packed codes: nibble k of the 5x5 patch -> word k//8, bit 4*(k%8)
-    words = []
     for widx in range(4):
         acc = zero
         for slot in range(8):
@@ -121,26 +142,34 @@ def _compute_planes(tab_ref, frame):
             acc = acc | (_roll2(frame, dy, dx) << (4 * slot))
         if widx == 3:
             acc = acc | (weight << 4)
-        words.append(acc)
-    return median, weight, words
+        emit(widx, acc)
 
 
 def _extract_kernel(tab_ref, frame_ref, median_ref, weight_ref, codes_ref):
-    median, weight, words = _compute_planes(tab_ref, frame_ref[0])
-    median_ref[0] = median
-    weight_ref[0] = weight
-    for widx in range(4):
-        codes_ref[0, widx] = words[widx]
+    def emit(kind, plane):
+        if kind == "median":
+            median_ref[0] = plane
+        elif kind == "weight":
+            weight_ref[0] = plane
+        else:
+            codes_ref[0, kind] = plane
+
+    _compute_planes(tab_ref, frame_ref[0], emit)
 
 
 def _band_kernel(tile_h, tab_ref, band_ref, median_ref, weight_ref,
                  codes_ref):
-    median, weight, words = _compute_planes(tab_ref, band_ref[0])
     sl = slice(HALO, HALO + tile_h)
-    median_ref[0] = median[sl]
-    weight_ref[0] = weight[sl]
-    for widx in range(4):
-        codes_ref[0, widx] = words[widx][sl]
+
+    def emit(kind, plane):
+        if kind == "median":
+            median_ref[0] = plane[sl]
+        elif kind == "weight":
+            weight_ref[0] = plane[sl]
+        else:
+            codes_ref[0, kind] = plane[sl]
+
+    _compute_planes(tab_ref, band_ref[0], emit)
 
 
 class PallasExtract(NamedTuple):
@@ -149,19 +178,33 @@ class PallasExtract(NamedTuple):
     codes: jax.Array    # [B, H, W, 4] uint32
 
 
+def _padded_w(w: int) -> int:
+    return -(-w // 128) * 128
+
+
 def pick_tile(h: int, w: int) -> Optional[int]:
-    """Band height for (h, w), or None when the whole frame fits VMEM."""
-    if h * w <= _SINGLE_CAP:
+    """Band height for (h, w), or None when the whole frame fits VMEM.
+
+    Picks the fewest bands that fit the budget, then evens the band
+    height across them (rounded up to the 8-row sublane), so a frame just
+    over the cap splits into two near-halves instead of many small tiles.
+    """
+    pw = _padded_w(w)
+    if h * pw <= _SINGLE_CAP:
         return None
-    for tile in _TILE_CHOICES:
-        if tile < h and (tile + 2 * HALO) * w <= _SINGLE_CAP:
-            return tile
-    return None
+    tile_max = _SINGLE_CAP // pw - 2 * HALO
+    tile_max -= tile_max % 8
+    if tile_max < 8:
+        return None
+    n_bands = -(-h // tile_max)
+    tile = -(-h // n_bands)
+    tile += (-tile) % 8
+    return min(tile, tile_max)
 
 
 def supports(h: int, w: int) -> bool:
     """True if some Pallas dispatch shape exists for this frame size."""
-    return h * w <= _SINGLE_CAP or pick_tile(h, w) is not None
+    return h * _padded_w(w) <= _SINGLE_CAP or pick_tile(h, w) is not None
 
 
 @jax.jit
@@ -213,8 +256,15 @@ def _extract_banded(images: jax.Array, tile_h: int) -> PallasExtract:
 
     padded = jnp.pad(f32, ((0, 0), (HALO, hp - h + HALO), (0, 0)))
     hb = tile_h + 2 * HALO
-    row_idx = np.arange(t)[:, None] * tile_h + np.arange(hb)[None, :]
-    bands = padded[:, jnp.asarray(row_idx), :].reshape(b * t, hb, w)
+    # static slices, not a row gather — gathers cost ~15 ns/element on
+    # this hardware and dominated the banded dispatch when first measured
+    bands = jnp.stack(
+        [
+            jax.lax.slice_in_dim(padded, i * tile_h, i * tile_h + hb, axis=1)
+            for i in range(t)
+        ],
+        axis=1,
+    ).reshape(b * t, hb, w)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

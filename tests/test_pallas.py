@@ -93,6 +93,37 @@ def test_cc_kernel_matches_xla(interpret_pallas):
         np.testing.assert_array_equal(out, ref)
 
 
+def test_fde_stats_path_matches_xla(interpret_pallas):
+    """extract_batch via the CC-stats kernel == the XLA segment-op path."""
+    from remap_tpu.ops import fde as fde_ops
+    from remap_tpu.ops.pallas import cc as pcc
+
+    rng = np.random.default_rng(21)
+    h, w = 40, 56
+    assert pcc.supports_stats(h, w)
+    bg = rng.integers(0, 16, (h + 20, w + 20), dtype=np.uint8)
+    # frames = background + small sprites => real foreground components
+    pos = np.stack([rng.integers(0, 20, 6), rng.integers(0, 20, 6)], -1)
+    frames = np.stack([
+        bg[p[1] : p[1] + h, p[0] : p[0] + w].copy() for p in pos
+    ])
+    for f in frames:
+        y, x = rng.integers(5, h - 9), rng.integers(5, w - 9)
+        f[y : y + 4, x : x + 4] = rng.integers(0, 16)
+
+    ref = fde_ops.extract_batch(
+        jnp.asarray(bg), jnp.asarray(frames), None,
+        jnp.asarray(pos.astype(np.int32)),
+        compute_medians=True, use_pallas=False,
+    )
+    out = fde_ops.extract_batch(
+        jnp.asarray(bg), jnp.asarray(frames), None,
+        jnp.asarray(pos.astype(np.int32)),
+        compute_medians=True, use_pallas=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_extract_banded_matches_xla(interpret_pallas):
     """Row-banded dispatch (band_h forced small) == XLA, even when the
     band height does not divide the frame height."""
