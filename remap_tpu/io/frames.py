@@ -102,8 +102,15 @@ class PngDirectoryFeed:
     def read(self, index: int) -> np.ndarray:
         from PIL import Image
 
-        img = np.asarray(Image.open(self.files[index]).convert("RGB"))
-        out = rgb_to_native(img)
+        img = Image.open(self.files[index])
+        if img.mode == "P":
+            # palette-indexed fast path: map each palette entry to its
+            # nearest native color ONCE (exact when the palette is the
+            # C64 palette, in any order), then index — no per-pixel RGB
+            # quantization
+            out = _palette_lut(img)[np.asarray(img)]
+        else:
+            out = rgb_to_native(np.asarray(img.convert("RGB")))
         if self.crop is not None:
             c = self.crop
             out = out[c.top : c.bottom, c.left : c.right]
@@ -119,6 +126,15 @@ class PngDirectoryFeed:
         feed.crop = crop
         feed.files = self.files
         return feed
+
+
+def _palette_lut(img) -> np.ndarray:
+    """[256] uint8 LUT: PNG palette code -> nearest native color."""
+    pal = img.getpalette() or []
+    arr = np.zeros((256, 3), np.uint8)
+    flat = np.array(pal, np.uint8)[: 256 * 3]
+    arr[: len(flat) // 3] = flat.reshape(-1, 3)
+    return rgb_to_native(arr[None, :, :])[0]
 
 
 def rgb_to_native(rgb: np.ndarray) -> np.ndarray:

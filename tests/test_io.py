@@ -94,3 +94,25 @@ def test_checkpoint_roundtrip(tmp_path):
         ]
         np.testing.assert_array_equal(a.store.image(2), b.store.image(2))
         np.testing.assert_array_equal(a.store.median(3), b.store.median(3))
+
+
+def test_indexed_png_fast_path(tmp_path):
+    """Palette-indexed PNGs map codes through the palette LUT exactly —
+    even when the PNG's palette is a permutation of the native one."""
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 16, size=(12, 18), dtype=np.uint8)
+    perm = rng.permutation(16).astype(np.uint8)
+
+    img = Image.fromarray(perm[codes], mode="P")
+    pal = np.zeros((256, 3), np.uint8)
+    inv = np.argsort(perm)
+    pal[:16] = palette.NATIVE_TO_RGB[inv]
+    img.putpalette(pal.reshape(-1).tolist())
+    path = str(tmp_path / "7.png")
+    img.save(path)
+
+    feed = frames_io.PngDirectoryFeed(str(tmp_path))
+    out = feed.read(0)
+    np.testing.assert_array_equal(out, codes)
