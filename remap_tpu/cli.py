@@ -33,7 +33,8 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--artifact-size", type=int, default=15)
     p.add_argument("--matcher", choices=["grid_vote", "xcorr", "pyramid"],
                    default="grid_vote",
-                   help="alignment family (grid_vote = reference parity)")
+                   help="alignment family for collect AND splice "
+                        "(grid_vote = reference parity)")
     p.add_argument("--weight-switch", type=int, default=10)
     p.add_argument("--region-votes", type=int, default=3)
     p.add_argument("--frame-batch", type=int, default=128)

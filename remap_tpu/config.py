@@ -72,6 +72,10 @@ class PipelineConfig:
     splice_cell: Tuple[int, int] = (15, 15)       # fgs.hpp:121
     #: matched_cells >= 0.66 * active_cells (kpm.hpp:388).
     splice_cell_ratio: float = 0.66
+    #: Correlation-family splice acceptance (matcher != "grid_vote"):
+    #: peak agreement >= ratio * overlap, overlap >= min_overlap pixels.
+    splice_xcorr_ratio: float = 0.85
+    splice_min_overlap: int = 1024
 
     # --- action window scan (aws) ---------------------------------------
     aws_min_area_divisor: int = 3       # area > screen_area/3   (aws.hpp:110)

@@ -94,6 +94,167 @@ def correlation_scores_direct(
     return jnp.stack(rows, axis=-2)  # [B, 2R+1, 2R+1]
 
 
+class CanvasMatch(NamedTuple):
+    offset: jax.Array    # [2] int32 (dx, dy) — head coords of other's origin
+    count: jax.Array     # [] int32 agreement pixels at the peak
+    overlap: jax.Array   # [] int32 overlap pixels at the peak
+    ok: jax.Array        # [] bool
+
+
+def _canvas_planes(
+    a_img, a_mask, b_img, b_mask, ny: int, nx: int
+):
+    """Zero-pad both masked canvases onto a common [ny, nx] plane and
+    return (agreement, overlap) full-plane correlation surfaces.
+
+    agreement[d] = #{x : both masks on and codes equal at shift d} where a
+    pixel of ``b`` at coord c is compared against ``a`` at coord c + d;
+    overlap[d] counts mask intersection alone.  Exact integers (one-hot
+    floats, counts << 2^24).
+    """
+    ha, wa = a_img.shape
+    hb, wb = b_img.shape
+
+    def plane(on, h, w):
+        p = jnp.zeros((ny, nx), jnp.float32)
+        return p.at[:h, :w].set(on.astype(jnp.float32))
+
+    def corr(pa, pb):
+        return jnp.fft.irfft2(
+            jnp.fft.rfft2(pa) * jnp.conj(jnp.fft.rfft2(pb)), s=(ny, nx)
+        )
+
+    def channel(c, acc):
+        return acc + corr(
+            plane((a_img == c) & (a_mask != 0), ha, wa),
+            plane((b_img == c) & (b_mask != 0), hb, wb),
+        )
+
+    agreement = jax.lax.fori_loop(
+        0, 16, channel, jnp.zeros((ny, nx), jnp.float32)
+    )
+    overlap = corr(
+        plane(a_mask != 0, ha, wa), plane(b_mask != 0, hb, wb)
+    )
+    return agreement, overlap
+
+
+def _fft_dim(n: int) -> int:
+    return ((n + 127) // 128) * 128
+
+
+@functools.partial(jax.jit, static_argnames=("min_overlap", "ratio"))
+def match_canvases(
+    a_img: jax.Array,   # [HA, WA] uint8 palette codes (head fragment)
+    a_mask: jax.Array,  # [HA, WA] uint8 nonzero where covered
+    b_img: jax.Array,   # [HB, WB] uint8 (other fragment)
+    b_mask: jax.Array,
+    min_overlap: int = 1024,
+    ratio: float = 0.85,
+) -> CanvasMatch:
+    """Masked-agreement alignment of two different-size fragment canvases.
+
+    The xcorr/pyramid families' splice-stage matcher (the reference's
+    splice is keypoint-cellular only, fgs.hpp:119-140; this is the dense
+    TPU-native alternative): every offset of the full correlation plane is
+    scored by exact agreement counts, the peak maximises agreement among
+    offsets with at least ``min_overlap`` covered pixels, and acceptance
+    requires agreement >= ratio * overlap there.
+    """
+    ha, wa = a_img.shape
+    hb, wb = b_img.shape
+    ny, nx = _fft_dim(ha + hb), _fft_dim(wa + wb)
+    agreement, overlap = _canvas_planes(a_img, a_mask, b_img, b_mask, ny, nx)
+
+    agr = jnp.round(agreement)
+    ovl = jnp.round(overlap)
+    score = jnp.where(ovl >= min_overlap, agr, -1.0)
+    flat = jnp.argmax(score.reshape(-1))
+    iy, ix = flat // nx, flat % nx
+    # index -> signed shift: d in [-(len_b - 1), len_a - 1]
+    dx = ((ix + wb - 1) % nx) - (wb - 1)
+    dy = ((iy + hb - 1) % ny) - (hb - 1)
+    peak_agr = agr[iy, ix].astype(jnp.int32)
+    peak_ovl = ovl[iy, ix].astype(jnp.int32)
+    ok = (peak_ovl >= min_overlap) & (
+        peak_agr.astype(jnp.float32)
+        >= jnp.float32(ratio) * peak_ovl.astype(jnp.float32)
+    )
+    return CanvasMatch(
+        offset=jnp.stack([dx, dy]).astype(jnp.int32),
+        count=peak_agr,
+        overlap=peak_ovl,
+        ok=ok,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("factor", "min_overlap", "ratio")
+)
+def match_canvases_pyramid(
+    a_img: jax.Array,
+    a_mask: jax.Array,
+    b_img: jax.Array,
+    b_mask: jax.Array,
+    factor: int = 4,
+    min_overlap: int = 1024,
+    ratio: float = 0.85,
+) -> CanvasMatch:
+    """Coarse-to-fine canvas alignment: the coarse level decimates both
+    canvases by ``factor`` (stride subsampling — palette codes can't
+    average) and scans the full plane; the fine level rescores the
+    (2*factor+1)^2 full-resolution offsets around the upscaled coarse
+    peak by direct masked comparison on a common grid."""
+    ha, wa = a_img.shape
+    hb, wb = b_img.shape
+    coarse = match_canvases(
+        a_img[::factor, ::factor],
+        a_mask[::factor, ::factor],
+        b_img[::factor, ::factor],
+        b_mask[::factor, ::factor],
+        min_overlap=max(1, min_overlap // (factor * factor)),
+        ratio=ratio,
+    )
+    base = coarse.offset * factor
+
+    # common grid: b placed at +pad so negative candidate shifts stay in
+    # bounds; a compared at c + d
+    r = factor + 2
+    gh, gw = max(ha, hb) + 2 * r, max(wa, wb) + 2 * r
+    pa = jnp.zeros((gh, gw), jnp.uint8).at[:ha, :wa].set(a_img * a_mask)
+    pam = jnp.zeros((gh, gw), bool).at[:ha, :wa].set(a_mask != 0)
+    pb = jnp.zeros((gh, gw), jnp.uint8).at[:hb, :wb].set(b_img * b_mask)
+    pbm = jnp.zeros((gh, gw), bool).at[:hb, :wb].set(b_mask != 0)
+
+    def score_at(d):
+        # roll a by -d: a(c + d) lands at c
+        sa = jnp.roll(pa, (-d[1], -d[0]), axis=(0, 1))
+        sam = jnp.roll(pam, (-d[1], -d[0]), axis=(0, 1))
+        both = sam & pbm
+        agr = jnp.sum((sa == pb) & both, dtype=jnp.int32)
+        ovl = jnp.sum(both, dtype=jnp.int32)
+        return agr, ovl
+
+    cand = jnp.stack(
+        [
+            base + jnp.array([ddx, ddy], jnp.int32)
+            for ddy in range(-r, r + 1)
+            for ddx in range(-r, r + 1)
+        ]
+    )
+    agrs, ovls = jax.lax.map(score_at, cand)
+    score = jnp.where(ovls >= min_overlap, agrs, -1)
+    best = jnp.argmax(score)
+    peak_agr, peak_ovl = agrs[best], ovls[best]
+    ok = (peak_ovl >= min_overlap) & (
+        peak_agr.astype(jnp.float32)
+        >= jnp.float32(ratio) * peak_ovl.astype(jnp.float32)
+    )
+    return CanvasMatch(
+        offset=cand[best], count=peak_agr, overlap=peak_ovl, ok=ok
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("radius", "min_ratio", "min_cover", "exclude", "method"),

@@ -9,6 +9,13 @@ front), re-matches it against the rest, and repeats until no edges remain.
 
 Canvas merges replay fgm's step-quantized growth exactly (the merged
 canvas size feeds the next extraction's processed bounds).
+
+Matcher families: ``cfg.matcher == "grid_vote"`` (default) is the
+reference-parity cellular keypoint matcher above; ``"xcorr"`` and
+``"pyramid"`` instead align canvases with the dense masked-agreement
+correlation (ops.correlate.match_canvases), whose peak agreement count
+plays the cellular vote count's role in the greedy merge order — so the
+``--matcher`` flag now selects the family in *every* stage that matches.
 """
 
 from __future__ import annotations
@@ -22,6 +29,7 @@ import numpy as np
 from remap_tpu.config import PipelineConfig
 from remap_tpu.core.regions import make_layout
 from remap_tpu.ops import atlas as atlas_ops
+from remap_tpu.ops import correlate
 from remap_tpu.ops import kpe as kpe_ops
 from remap_tpu.ops import splice as splice_ops
 from remap_tpu.ops import tables as table_ops
@@ -51,6 +59,7 @@ class _Snippet:
     pos: np.ndarray                  # [K, 2] int32
     valid: np.ndarray                # [K] bool
     edges: List[_Edge] = dataclasses.field(default_factory=list)
+    image_bucket: Optional[np.ndarray] = None   # correlation families only
 
 
 def _extract_snippet(frag: Fragment, cfg: PipelineConfig) -> _Snippet:
@@ -58,15 +67,30 @@ def _extract_snippet(frag: Fragment, cfg: PipelineConfig) -> _Snippet:
     dots = jnp.asarray(frag.dots)
     image, mask = atlas_ops.blend(dots)
 
+    hb, wb = _bucket(ch), _bucket(cw)
+    mask_np = np.zeros((hb, wb), np.uint8)
+    mask_np[:ch, :cw] = np.asarray(mask)
+
+    if cfg.matcher != "grid_vote":
+        # correlation families match blended canvases directly — no
+        # keypoint tables needed
+        image_np = np.zeros((hb, wb), np.uint8)
+        image_np[:ch, :cw] = np.asarray(image)
+        return _Snippet(
+            fragment=frag,
+            mask_bucket=mask_np,
+            dims=(cw, ch),
+            codes=np.zeros((0, 4), np.uint32),
+            pos=np.zeros((0, 2), np.int32),
+            valid=np.zeros((0,), bool),
+            image_bucket=image_np,
+        )
+
     layout = make_layout(cw, ch, 1, 1, 0)
     dense = kpe_ops.extract_dense(image[None], layout)
     tabs = table_ops.extract_tables(
         dense.weight, dense.codes, layout, cfg.splice_capacity
     )
-
-    hb, wb = _bucket(ch), _bucket(cw)
-    mask_np = np.zeros((hb, wb), np.uint8)
-    mask_np[:ch, :cw] = np.asarray(mask)
 
     return _Snippet(
         fragment=frag,
@@ -81,6 +105,27 @@ def _extract_snippet(frag: Fragment, cfg: PipelineConfig) -> _Snippet:
 def _match(
     head: _Snippet, other: _Snippet, cfg: PipelineConfig
 ) -> Optional[Tuple[Tuple[int, int], int]]:
+    if cfg.matcher != "grid_vote":
+        # dense correlation families (bucketed canvases bound recompiles;
+        # zero padding is masked out, so offsets are exact)
+        fn = (
+            correlate.match_canvases
+            if cfg.matcher == "xcorr"
+            else correlate.match_canvases_pyramid
+        )
+        res = fn(
+            jnp.asarray(head.image_bucket),
+            jnp.asarray(head.mask_bucket),
+            jnp.asarray(other.image_bucket),
+            jnp.asarray(other.mask_bucket),
+            min_overlap=cfg.splice_min_overlap,
+            ratio=cfg.splice_xcorr_ratio,
+        )
+        if not bool(res.ok):
+            return None
+        off = tuple(int(v) for v in np.asarray(res.offset))
+        return off, int(res.count)
+
     mult = cfg.join_multiplicity
     while True:
         res = splice_ops.match_fragments(
