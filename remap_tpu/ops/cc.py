@@ -52,7 +52,10 @@ def label_components(image: jax.Array) -> jax.Array:
     big = h * w
 
     iota = jnp.arange(big, dtype=jnp.int32).reshape(h, w)
-    interior = jnp.zeros((h, w), bool).at[1:-1, 1:-1].set(True)
+    # horizon = 1-px frame EXCEPT the bottom, which is 2 px: cte::
+    # clear_outline horizons the last two rows (cte.hpp:155-165; verified
+    # against the compiled reference, tests/differential/)
+    interior = jnp.zeros((h, w), bool).at[1:-2, 1:-1].set(True)
     labels = jnp.where(interior, iota, big)
 
     # Sentinel-value border: give border pixels an impossible image value so

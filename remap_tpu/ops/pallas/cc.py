@@ -46,7 +46,8 @@ def _cc_core(img, values):
 
     yi = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xi = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    interior = (yi > 0) & (yi < h - 1) & (xi > 0) & (xi < w - 1)
+    # bottom horizon is TWO rows (cte.hpp:155-165; see ops.cc docstring)
+    interior = (yi > 0) & (yi < h - 2) & (xi > 0) & (xi < w - 1)
     im = jnp.where(interior, img, -1)
 
     def shift_fwd(a, s, axis, fill):

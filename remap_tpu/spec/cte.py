@@ -49,11 +49,18 @@ def label_components(image: np.ndarray) -> np.ndarray:
 
     Labels are assigned in row-major order of each component's first pixel,
     starting at 1 (matching the reference's seed order, cte.hpp:65-79).
+
+    The interior is ``[1, H-2) x [1, W-1)``: the horizon border covers the
+    *two bottom-most rows*, not one — cte::clear_outline's side-border loop
+    stops ``2 * width`` before the zeroed block's end and the final loop
+    horizons everything after it (cte.hpp:155-165), exactly like kpe's
+    ``H - kernel_half - 2`` bound.  Verified against the compiled
+    reference (tests/differential/).
     """
     h, w = image.shape
     labels = np.zeros((h, w), dtype=np.int32)
     next_label = 1
-    for y in range(1, h - 1):
+    for y in range(1, h - 2):
         for x in range(1, w - 1):
             if labels[y, x] != 0:
                 continue
@@ -71,7 +78,7 @@ def label_components(image: np.ndarray) -> np.ndarray:
                     (cy + 1, cx),
                 ):
                     if (
-                        1 <= ny < h - 1
+                        1 <= ny < h - 2
                         and 1 <= nx < w - 1
                         and labels[ny, nx] == 0
                         and image[ny, nx] == v
