@@ -78,6 +78,9 @@ def main(ingest: bool = False):
         region_capacity=768,
         join_multiplicity=2,
         frame_batch=BATCH,
+        # bounded-offset MXU vote histogram; the no-overflow assertion
+        # below proves no vote left the radius (or the join limits)
+        vote_radius=16,
     )
     layout = make_layout(W, H, cfg.grid_width, cfg.grid_height, cfg.grid_overlap)
     init_state, step = make_streaming_step(layout, cfg, atlas_pad=128)

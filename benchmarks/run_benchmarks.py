@@ -47,6 +47,7 @@ def bench_stream(name, h, w, capacity=768, matcher="grid_vote", seconds=6.0):
         screen_width=w, screen_height=h,
         region_capacity=capacity, frame_batch=B, matcher=matcher,
         join_multiplicity=2,   # flagship protocol; overflow asserted below
+        vote_radius=16,
     )
     layout = make_layout(w, h, cfg.grid_width, cfg.grid_height,
                          cfg.grid_overlap)

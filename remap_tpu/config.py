@@ -116,6 +116,11 @@ class PipelineConfig:
     #: results; relative speed depends on surrounding fusion — benchmarked
     #: per release).
     table_mode: str = "topk"
+    #: Vote counting: 0 = exact sort over the full offset range;
+    #: > 0 = bounded-offset MXU histogram of radius ``vote_radius``
+    #: (out-of-range votes flag overflow and the strict collect loop
+    #: escalates to the exact path, so results never silently truncate).
+    vote_radius: int = 0
     #: Max same-code multiplicity handled exactly by the sort-merge join
     #: in the matcher (overflow is flagged; raise for pathological inputs).
     join_multiplicity: int = 4

@@ -69,22 +69,7 @@ def _decode_offset(key: jax.Array, w: int, h: int):
     return key // (2 * h) - w, key % (2 * h) - h
 
 
-def _hash_codes(codes):
-    """64-bit mix of the 4 code words as two uint32 sort keys.
-
-    Equal codes always hash equal; the (vanishingly rare) collisions only
-    group *different* codes into one run, and pairs are verified exactly
-    before voting, so results stay exact.
-    """
-    c = codes.astype(jnp.uint32)
-    h1 = c[..., 0] * jnp.uint32(0x9E3779B1)
-    h1 = (h1 ^ (h1 >> 15)) * jnp.uint32(0x85EBCA77) + c[..., 1]
-    h1 = (h1 ^ (h1 >> 13)) * jnp.uint32(0xC2B2AE3D) + c[..., 2]
-    h1 = h1 ^ (h1 >> 16)
-    h2 = c[..., 3] * jnp.uint32(0x27D4EB2F) + (c[..., 0] ^ (c[..., 1] << 16))
-    h2 = (h2 ^ (h2 >> 15)) * jnp.uint32(0x165667B1) + c[..., 2]
-    h2 = h2 ^ (h2 >> 13)
-    return h1, h2
+_SENT = jnp.uint32(0xFFFFFFFF)
 
 
 def _join_rolled(
@@ -95,14 +80,18 @@ def _join_rolled(
 ):
     """Enumerate equal-code (prev, curr) pair offsets, gather-free.
 
-    Sort-merge join on 64-bit code hashes with every per-entry attribute
-    (positions + the 4 code words) riding the sort as payload operands.
-    Within a hash run, prev entries precede curr (origin bit in the tag
-    key), so a curr entry's partners sit at small *backward distances* —
+    Sort-merge join directly on the 4 code words (exact — no hashing):
+    word 3 only carries nibble 24 + the weight nibble in its low byte
+    (spec.kpe.pack_code), so the last key word is ``c3 << 1`` with the
+    curr-side origin tag in bit 0 (subordinate to every code bit, so
+    equal codes stay adjacent with prev entries first) and all-ones as
+    the invalid sentinel (a valid key word never reaches it).  Six sort
+    operands total: 4 key words + the two position columns as payload.
+
+    Within an equal-code run, prev entries precede curr (the origin bit),
+    so a curr entry's partners sit at small *backward distances* —
     enumerated with ``max_run`` fixed rolls and masks instead of gathers
     (TPU gathers are ~15ns/element on this target; rolls are bandwidth).
-    Code equality is verified exactly via rolled comparison, so hash
-    collisions cannot corrupt votes.
 
     Exact as long as each curr entry's backward distance to its run start
     is <= max_run and no code repeats more than ``multiplicity`` times in
@@ -116,31 +105,37 @@ def _join_rolled(
 
     codes = jnp.concatenate([p_codes, c_codes])          # [2K, 4]
     validc = jnp.concatenate([p_valid, c_sel])
-    h1, h2 = _hash_codes(codes)
-    sent = jnp.uint32(0xFFFFFFFF)
-    h1 = jnp.where(validc, h1, sent)
-    h2 = jnp.where(validc, h2, sent)
+    inv = jnp.where(validc, jnp.uint32(0), _SENT)
     tag = jnp.concatenate(
-        [
-            jnp.zeros((k,), jnp.uint32),
-            jnp.full((k,), 1 << 31, jnp.uint32),
-        ]
+        [jnp.zeros((k,), jnp.uint32), jnp.ones((k,), jnp.uint32)]
     )
     px = jnp.concatenate([p_pos[:, 0], c_pos[:, 0]])
     py = jnp.concatenate([p_pos[:, 1], c_pos[:, 1]])
 
-    sh1, sh2, stag, spx, spy, c0, c1, c2, c3 = jax.lax.sort(
-        (h1, h2, tag, px, py,
-         codes[:, 0], codes[:, 1], codes[:, 2], codes[:, 3]),
-        num_keys=3,
+    s0, s1, s2, s3, spx, spy = jax.lax.sort(
+        (
+            codes[:, 0] | inv,
+            codes[:, 1] | inv,
+            codes[:, 2] | inv,
+            ((codes[:, 3] << 1) | tag) | inv,
+            px,
+            py,
+        ),
+        num_keys=4,
     )
-    is_curr_row = (stag >> 31) == 1
-    not_sent = ~((sh1 == sent) & (sh2 == sent))
+    is_curr_row = (s3 & 1) != 0
+    not_sent = s3 != _SENT
     is_prev = (~is_curr_row) & not_sent
     is_curr = is_curr_row & not_sent
 
     iota = jnp.arange(n, dtype=jnp.int32)
-    neq = (sh1[1:] != sh1[:-1]) | (sh2[1:] != sh2[:-1])
+    m3 = s3 | 1                   # mask the origin bit out of run keys
+    neq = (
+        (s0[1:] != s0[:-1])
+        | (s1[1:] != s1[:-1])
+        | (s2[1:] != s2[:-1])
+        | (m3[1:] != m3[:-1])
+    )
     is_start = jnp.concatenate([jnp.ones((1,), bool), neq])
     rid = jnp.cumsum(is_start)
     run_start = jax.lax.cummax(jnp.where(is_start, iota, 0))
@@ -169,13 +164,6 @@ def _join_rolled(
             & (d - s < m)
             & (s <= d)
         )
-        same_code = (
-            (shifted(c0, s) == c0)
-            & (shifted(c1, s) == c1)
-            & (shifted(c2, s) == c2)
-            & (shifted(c3, s) == c3)
-        )
-        ok &= same_code
         dxs.append(shifted(spx, s) - spx)
         dys.append(shifted(spy, s) - spy)
         valids.append(ok)
@@ -218,6 +206,7 @@ def _region_votes(
     h: int,
     region_votes: int,
     multiplicity: int,
+    vote_radius: int = 0,
 ):
     """Top-`region_votes` offsets of one region pair: (keys, counts,
     overflow)."""
@@ -235,6 +224,42 @@ def _region_votes(
             p_codes, p_pos, p_valid, c_codes, c_pos, c_sel,
             multiplicity, max_run=2 * multiplicity,
         )[:4]
+
+    if vote_radius > 0:
+        # MXU vote histogram: counts[dx, dy] = onehot(dx)^T @ onehot(dy)
+        # over the enumerated pairs — one bf16 matmul with exact f32
+        # integer accumulation replaces the offset-key sort.  Offsets
+        # beyond the radius raise ``overflow`` and callers escalate to
+        # the exact path (vote_radius=0), so results never silently
+        # truncate; bins iterate (dx, dy) row-major = ascending encoded
+        # key, preserving the canonical smallest-key tie-break.
+        r = vote_radius
+        nb = 2 * r + 1
+        in_range = pair & (jnp.abs(dx) <= r) & (jnp.abs(dy) <= r)
+        overflow |= jnp.any(pair & ~in_range)
+        iotab = jnp.arange(nb, dtype=jnp.int32)
+        a = ((dx + r)[..., None] == iotab) & in_range[..., None]
+        b = ((dy + r)[..., None] == iotab) & in_range[..., None]
+        counts2d = jax.lax.dot_general(
+            a.reshape(-1, nb).astype(jnp.bfloat16),
+            b.reshape(-1, nb).astype(jnp.bfloat16),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                  # [nb, nb]
+        counts = counts2d.reshape(-1).astype(jnp.int32)
+        bx = iotab[:, None].repeat(nb, 1).reshape(-1) - r   # dx per bin
+        by = iotab[None, :].repeat(nb, 0).reshape(-1) - r   # dy per bin
+        bin_keys = _encode_offset(bx, by, w, h)
+
+        def pick_bin(cnts, _):
+            i = jnp.argmax(cnts)
+            return cnts.at[i].set(-1), (bin_keys[i], cnts[i])
+
+        _, (top_keys, top_counts) = jax.lax.scan(
+            pick_bin, counts, None, length=region_votes
+        )
+        return top_keys, top_counts, overflow
+
     keys = jnp.where(
         pair, _encode_offset(dx, dy, w, h), jnp.int32(sentinel)
     ).reshape(-1)
@@ -308,8 +333,13 @@ def match_tables(
     min_active_divisor: int = 4,
     runner_up_divisor: int = 2,
     multiplicity: int = 8,
+    vote_radius: int = 0,
 ) -> MatchResult:
-    """Match every (prev[i], curr[i]) pair of table batches: [P, R, ...]."""
+    """Match every (prev[i], curr[i]) pair of table batches: [P, R, ...].
+
+    ``vote_radius > 0`` counts votes in a bounded-offset MXU histogram
+    (offsets beyond the radius flag overflow for escalation); 0 = exact
+    sort-based counting over the full offset range."""
     w, h = layout.width, layout.height
 
     # adaptive weight switch per region (kpm.hpp:219-222: < vs <=)
@@ -325,6 +355,7 @@ def match_tables(
                 h=h,
                 region_votes=region_votes,
                 multiplicity=multiplicity,
+                vote_radius=vote_radius,
             ),
             in_axes=0,
         ),
@@ -363,6 +394,7 @@ def match_tables(
         "min_active_divisor",
         "runner_up_divisor",
         "multiplicity",
+        "vote_radius",
     ),
 )
 def match_tables_jit(
@@ -374,8 +406,9 @@ def match_tables_jit(
     min_active_divisor: int = 4,
     runner_up_divisor: int = 2,
     multiplicity: int = 8,
+    vote_radius: int = 0,
 ) -> MatchResult:
     return match_tables(
         prev, curr, layout, weight_switch, region_votes,
-        min_active_divisor, runner_up_divisor, multiplicity,
+        min_active_divisor, runner_up_divisor, multiplicity, vote_radius,
     )

@@ -100,6 +100,7 @@ def make_pipeline_step(
                 min_active_divisor=cfg.min_active_divisor,
                 runner_up_divisor=cfg.runner_up_divisor,
                 multiplicity=cfg.join_multiplicity,
+                vote_radius=cfg.vote_radius,
             )
         )(prev, curr)
 
@@ -265,6 +266,7 @@ def make_streaming_step(layout: GridLayout, cfg: PipelineConfig,
             min_active_divisor=cfg.min_active_divisor,
             runner_up_divisor=cfg.runner_up_divisor,
             multiplicity=cfg.join_multiplicity,
+            vote_radius=cfg.vote_radius,
         )
         # the very first frame of the stream never matches
         matched = res.ok & (state.started | (jnp.arange(t) > 0))

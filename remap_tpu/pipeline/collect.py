@@ -93,6 +93,7 @@ def make_collect_step(layout: GridLayout, cfg: PipelineConfig):
                 min_active_divisor=cfg.min_active_divisor,
                 runner_up_divisor=cfg.runner_up_divisor,
                 multiplicity=cfg.join_multiplicity,
+                vote_radius=cfg.vote_radius,
             )
             offset, ok, overflow = res.offset, res.ok, res.overflow
             overflow = tabs.overflow.any(axis=-1) | overflow
@@ -336,6 +337,7 @@ def collect(
             region_capacity=cfg.region_capacity * 2,
             join_multiplicity=next_mult,
             frame_batch=max(8, cfg.frame_batch // 2),
+            vote_radius=0,   # histogram range overflow -> exact votes
         )
         replay = (store.image(i) for i in range(len(store)))
         offsets, matched, overflow = match_pass(replay, layout, cfg, None)

@@ -131,3 +131,52 @@ def test_join_modes_agree(mult):
     assert offs == [(2, 3), (3, 2)]
     if mult == 0:
         assert not np.asarray(res.overflow).any()  # dense never overflows
+
+
+def _tables_of(frames, layout, capacity=2048):
+    imgs = jnp.asarray(np.stack(frames))
+    dense = jkpe.extract_dense(imgs, layout)
+    tabs = jtab.extract_tables(dense.weight, dense.codes, layout, capacity)
+    prev = jax.tree.map(lambda a: a[:-1], tabs)
+    curr = jax.tree.map(lambda a: a[1:], tabs)
+    return prev, curr
+
+
+@pytest.mark.parametrize("radius", [8, 16, 32])
+def test_vote_histogram_matches_exact(radius):
+    """The MXU vote histogram agrees with the exact sort path whenever
+    offsets fit the radius."""
+    rng = np.random.default_rng(41)
+    world = testing.make_world(200, 260, rng)
+    layout = make_layout(96, 64, 4, 2, 16)
+    path = testing.make_camera_path(12, (200, 260), (64, 96), rng, max_step=3)
+    frames = [world[y : y + 64, x : x + 96] for x, y in path]
+    prev, curr = _tables_of(frames, layout)
+    exact = jkpm.match_tables_jit(prev, curr, layout, weight_switch=10)
+    hist = jkpm.match_tables_jit(
+        prev, curr, layout, weight_switch=10, vote_radius=radius
+    )
+    assert not bool(np.asarray(hist.overflow).any())
+    assert np.array_equal(np.asarray(exact.ok), np.asarray(hist.ok))
+    assert np.array_equal(np.asarray(exact.offset), np.asarray(hist.offset))
+
+
+def test_vote_histogram_range_overflow_flags():
+    """Out-of-radius offsets must raise overflow (the escalation signal),
+    never silently drop votes."""
+    rng = np.random.default_rng(43)
+    world = testing.make_world(220, 300, rng)
+    layout = make_layout(96, 64, 4, 2, 16)
+    # a 40-px jump: well beyond radius 8
+    frames = [
+        world[20 : 20 + 64, 30 : 30 + 96],
+        world[20 : 20 + 64, 70 : 70 + 96],
+    ]
+    prev, curr = _tables_of(frames, layout)
+    exact = jkpm.match_tables_jit(prev, curr, layout, weight_switch=10)
+    assert bool(exact.ok[0])
+    assert tuple(int(v) for v in np.asarray(exact.offset[0])) == (40, 0)
+    hist = jkpm.match_tables_jit(
+        prev, curr, layout, weight_switch=10, vote_radius=8
+    )
+    assert bool(np.asarray(hist.overflow).any())
