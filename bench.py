@@ -75,7 +75,10 @@ def main(ingest: bool = False):
     cfg = PipelineConfig(
         screen_width=W,
         screen_height=H,
-        region_capacity=768,
+        # table gathers scale linearly with capacity; 640 is the smallest
+        # lane-aligned size the no-overflow assertion below admits on this
+        # load (512 overflows -> escalation would be required)
+        region_capacity=640,
         join_multiplicity=2,
         frame_batch=BATCH,
         # bounded-offset MXU vote histogram; the no-overflow assertion

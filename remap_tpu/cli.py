@@ -39,6 +39,9 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--region-votes", type=int, default=3)
     p.add_argument("--frame-batch", type=int, default=128)
     p.add_argument("--region-capacity", type=int, default=768)
+    p.add_argument("--vote-radius", type=int, default=16,
+                   help="vote histogram radius; 0 = exact full-range "
+                        "counting (out-of-range votes auto-escalate)")
     p.add_argument("--splice-capacity", type=int, default=2048)
     p.add_argument("--checkpoint-dir", default=None,
                    help="dump stage checkpoints for resume/debug")
@@ -92,6 +95,7 @@ def main(argv=None) -> int:
         artifact_filter_size=args.artifact_size,
         frame_batch=args.frame_batch,
         region_capacity=args.region_capacity,
+        vote_radius=args.vote_radius,
         splice_capacity=args.splice_capacity,
     )
 
