@@ -20,6 +20,8 @@
 
 #include "cte.hpp"
 #include "fgm.hpp"
+#include "kpm.hpp"
+#include "kpr.hpp"
 #include "nic.hpp"
 
 #include <cstdio>
@@ -136,6 +138,46 @@ int run_fgm(std::size_t w, std::size_t h, std::size_t n) {
   return 0;
 }
 
+struct match_cfg {
+  // frc.hpp:31-34's production configuration
+  static constexpr std::size_t weight_switch{10};
+  static constexpr std::size_t region_votes{3};
+
+  using allocator_type = std::allocator<char>;
+
+  [[nodiscard]] allocator_type get_allocator() const noexcept {
+    return {};
+  }
+};
+
+int run_kpm(std::size_t n_prev, std::size_t n_curr) {
+  using grid_t = kpr::grid<4, 2, std::allocator<char>>;  // frc.hpp:22-26
+
+  auto read_grid = [](grid_t& g, std::size_t n) {
+    for (std::size_t i = 0; i < n; ++i) {
+      auto region = rd<std::uint32_t>();
+      kpr::code key{};
+      if (std::fread(key.data(), 1, kpr::code_length, stdin) !=
+          kpr::code_length) {
+        std::exit(2);
+      }
+      auto x = rd<std::uint32_t>();
+      auto y = rd<std::uint32_t>();
+      g[region].add(key, mrl::point_t{x, y});
+    }
+  };
+
+  grid_t prev{}, curr{};
+  read_grid(prev, n_prev);
+  read_grid(curr, n_curr);
+
+  auto off = kpm::match(match_cfg{}, prev, curr);
+  wr<std::uint8_t>(off ? 1 : 0);
+  wr<std::int32_t>(off ? off->x_ : 0);
+  wr<std::int32_t>(off ? off->y_ : 0);
+  return 0;
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
@@ -156,6 +198,9 @@ int main(int argc, char** argv) {
   }
   if (cmd == "fgm") {
     return run_fgm(w, h, extra);
+  }
+  if (cmd == "kpm") {
+    return run_kpm(w, h);  // (w, h) reused as (n_prev, n_curr)
   }
   std::fprintf(stderr, "unknown subcommand %s\n", cmd.c_str());
   return 1;

@@ -212,3 +212,165 @@ def test_fgm_blit_growth_blend(driver, seed):
     simg, smask = frag.blend()
     assert np.array_equal(smask != 0, blend_mask != 0)
     assert np.array_equal(simg[smask != 0], blend_img[blend_mask != 0])
+
+
+# ---------------------------------------------------------------- kpm --
+
+def _kpm_entries(rng, n_codes, region_count=8, w=256, h=240,
+                 offset=(0, 0), noise=0):
+    """Synthetic keypoint stores: ``n_codes`` unique codes per region,
+    curr = prev shifted by ``offset`` (plus ``noise`` unmatched codes).
+
+    Returns (prev_entries, curr_entries, spec_prev, spec_curr): entries as
+    (region, 13-byte code, x, y); spec stores as kpe.RegionPoints.  The
+    byte code and the spec's 4-word code are different encodings of the
+    same (patch, weight) identity — kpm only observes equality and the
+    weight nibble (kpr.hpp:25-27), which both encodings preserve.
+    """
+    from remap_tpu.spec.kpe import RegionPoints
+
+    prev_e, curr_e = [], []
+    spec_prev, spec_curr = [], []
+    for r in range(region_count):
+        points = {}
+        cpoints = {}
+        counts = [0, 0, 0]
+        ccounts = [0, 0, 0]
+        for _ in range(n_codes):
+            nibbles = rng.integers(0, 16, 25, dtype=np.uint8)
+            weight = int(rng.integers(1, 3))
+            raw = bytearray(13)
+            for k in range(24):
+                raw[k // 2] |= int(nibbles[k]) << (4 * (k % 2))
+            raw[12] = (int(nibbles[24]) << 4) | weight
+            words = [0, 0, 0, 0]
+            for k in range(25):
+                words[k // 8] |= int(nibbles[k]) << (4 * (k % 8))
+            words[3] |= weight << 4
+            code = tuple(words)
+
+            # keep both sides' positions non-negative (mrl::point_t is
+            # size_t): sample prev from the shifted-safe range
+            x = int(rng.integers(max(16, 16 + offset[0]),
+                                 min(w - 16, w - 16 + offset[0])))
+            y = int(rng.integers(max(16, 16 + offset[1]),
+                                 min(h - 16, h - 16 + offset[1])))
+            prev_e.append((r, bytes(raw), x, y))
+            points.setdefault(code, []).append((x, y))
+            counts[weight] += 1
+
+            cx, cy = x - offset[0], y - offset[1]
+            curr_e.append((r, bytes(raw), cx, cy))
+            cpoints.setdefault(code, []).append((cx, cy))
+            ccounts[weight] += 1
+        for _ in range(noise):
+            nibbles = rng.integers(0, 16, 25, dtype=np.uint8)
+            weight = int(rng.integers(1, 3))
+            raw = bytearray(13)
+            for k in range(24):
+                raw[k // 2] |= int(nibbles[k]) << (4 * (k % 2))
+            raw[12] = (int(nibbles[24]) << 4) | weight
+            words = [0, 0, 0, 0]
+            for k in range(25):
+                words[k // 8] |= int(nibbles[k]) << (4 * (k % 8))
+            words[3] |= weight << 4
+            x = int(rng.integers(16, w - 16))
+            y = int(rng.integers(16, h - 16))
+            curr_e.append((r, bytes(raw), x, y))
+            cpoints.setdefault(tuple(words), []).append((x, y))
+            ccounts[weight] += 1
+        spec_prev.append(RegionPoints(points=points, counts=counts))
+        spec_curr.append(RegionPoints(points=cpoints, counts=ccounts))
+    return prev_e, curr_e, spec_prev, spec_curr
+
+
+def _run_kpm(driver, prev_e, curr_e):
+    payload = b""
+    for r, code, x, y in prev_e + curr_e:
+        payload += np.uint32(r).tobytes() + code
+        payload += np.uint32(x).tobytes() + np.uint32(y).tobytes()
+    out = run_driver(driver, ["kpm", len(prev_e), len(curr_e)], payload)
+    has = out[0]
+    dx, dy = np.frombuffer(out[1:9], np.int32)
+    return (int(dx), int(dy)) if has else None
+
+
+@pytest.mark.parametrize("seed,offset", [
+    (1, (3, -2)), (2, (0, 0)), (3, (-17, 9)), (4, (120, -80)),
+])
+def test_kpm_match_agrees(driver, seed, offset):
+    """The compiled reference's kpm::match and the spec agree on clean
+    scenes (unique codes -> no hash-order ties)."""
+    from remap_tpu.spec import kpm as skpm
+
+    rng = np.random.default_rng(seed)
+    prev_e, curr_e, sp, sc = _kpm_entries(
+        rng, n_codes=40, offset=offset, noise=6
+    )
+    ref = _run_kpm(driver, prev_e, curr_e)
+    spec = skpm.match_frames(sp, sc, weight_switch=10)
+    assert ref == spec
+    assert ref == offset
+
+
+def test_kpm_active_gate(driver):
+    """active < region_count // 4 -> no match (kpm.hpp:400-403)."""
+    from remap_tpu.spec import kpm as skpm
+
+    rng = np.random.default_rng(9)
+    prev_e, curr_e, sp, sc = _kpm_entries(rng, n_codes=30, offset=(2, 2))
+    # keep only one active region (of 8) on the current side
+    curr_e = [e for e in curr_e if e[0] == 0]
+    for r in range(1, 8):
+        sc[r].points.clear()
+        sc[r].counts = [0, 0, 0]
+    ref = _run_kpm(driver, prev_e, curr_e)
+    spec = skpm.match_frames(sp, sc, weight_switch=10)
+    assert ref is None and spec is None
+
+
+def test_kpm_ambiguous_scene_rejects(driver):
+    """Two equally-voted offsets: the declare margin fails in both."""
+    from remap_tpu.spec import kpm as skpm
+
+    rng = np.random.default_rng(10)
+    a_prev, a_curr, sp_a, sc_a = _kpm_entries(rng, n_codes=20, offset=(5, 0))
+    b_prev, b_curr, sp_b, sc_b = _kpm_entries(rng, n_codes=20, offset=(0, 7))
+    prev_e = a_prev + b_prev
+    curr_e = a_curr + b_curr
+    sp = []
+    sc = []
+    for ra, rb in zip(sp_a, sp_b):
+        pts = dict(ra.points)
+        pts.update(rb.points)
+        cnt = [x + y for x, y in zip(ra.counts, rb.counts)]
+        sp.append(type(ra)(points=pts, counts=cnt))
+    for ra, rb in zip(sc_a, sc_b):
+        pts = dict(ra.points)
+        pts.update(rb.points)
+        cnt = [x + y for x, y in zip(ra.counts, rb.counts)]
+        sc.append(type(ra)(points=pts, counts=cnt))
+    ref = _run_kpm(driver, prev_e, curr_e)
+    spec = skpm.match_frames(sp, sc, weight_switch=10)
+    assert ref is None and spec is None
+
+
+def test_kpm_fuzz_many_scenes(driver):
+    """25 random clean scenes: offsets, densities, weight mixes."""
+    from remap_tpu.spec import kpm as skpm
+
+    rng = np.random.default_rng(123)
+    agree = 0
+    for _ in range(25):
+        off = (int(rng.integers(-60, 61)), int(rng.integers(-40, 41)))
+        n = int(rng.integers(8, 60))
+        noise = int(rng.integers(0, 10))
+        prev_e, curr_e, sp, sc = _kpm_entries(
+            rng, n_codes=n, offset=off, noise=noise
+        )
+        ref = _run_kpm(driver, prev_e, curr_e)
+        spec = skpm.match_frames(sp, sc, weight_switch=10)
+        assert ref == spec, (off, n, noise)
+        agree += ref == off
+    # nearly all clean scenes must also recover the true offset
+    assert agree >= 23
