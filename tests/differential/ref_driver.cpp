@@ -178,6 +178,50 @@ int run_kpm(std::size_t n_prev, std::size_t n_curr) {
   return 0;
 }
 
+int run_fgs(std::size_t n_prev, std::size_t n_curr) {
+  // the splice-stage cellular matcher (kpm.hpp:371-393): two 1x1-grid
+  // keypoint stores + blend masks, cell size 15x15 (fgs.hpp:119-121)
+  using region_t = kpr::region<std::allocator<char>>;
+
+  auto read_mask = []() {
+    auto w = rd<std::uint32_t>();
+    auto h = rd<std::uint32_t>();
+    sid::mon::dimg_t mask{mrl::dimensions_t{w, h}};
+    auto raw = rd_bytes(static_cast<std::size_t>(w) * h);
+    for (std::size_t i = 0; i < raw.size(); ++i) {
+      mask[i] = cpl::mon_bv{static_cast<std::uint8_t>(raw[i] != 0)};
+    }
+    return mask;
+  };
+
+  auto read_region = [](region_t& reg, std::size_t n) {
+    for (std::size_t i = 0; i < n; ++i) {
+      kpr::code key{};
+      if (std::fread(key.data(), 1, kpr::code_length, stdin) !=
+          kpr::code_length) {
+        std::exit(2);
+      }
+      auto x = rd<std::uint32_t>();
+      auto y = rd<std::uint32_t>();
+      reg.add(key, mrl::point_t{x, y});
+    }
+  };
+
+  auto pmask = read_mask();
+  auto cmask = read_mask();
+  region_t prev{}, curr{};
+  read_region(prev, n_prev);
+  read_region(curr, n_curr);
+
+  auto vote = kpm::match(prev, pmask, curr, cmask,
+                         kpm::cell_size_t{15, 15});
+  wr<std::uint8_t>(vote ? 1 : 0);
+  wr<std::int32_t>(vote ? vote->offset_.x_ : 0);
+  wr<std::int32_t>(vote ? vote->offset_.y_ : 0);
+  wr<std::uint32_t>(vote ? static_cast<std::uint32_t>(vote->count_) : 0);
+  return 0;
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
@@ -201,6 +245,9 @@ int main(int argc, char** argv) {
   }
   if (cmd == "kpm") {
     return run_kpm(w, h);  // (w, h) reused as (n_prev, n_curr)
+  }
+  if (cmd == "fgs") {
+    return run_fgs(w, h);  // (w, h) reused as (n_prev, n_curr)
   }
   std::fprintf(stderr, "unknown subcommand %s\n", cmd.c_str());
   return 1;

@@ -374,3 +374,93 @@ def test_kpm_fuzz_many_scenes(driver):
         agree += ref == off
     # nearly all clean scenes must also recover the true offset
     assert agree >= 23
+
+
+# ---------------------------------------------------------------- fgs --
+
+def _code_words_to_bytes(words):
+    """Spec 4-word code -> the driver's 13-byte encoding (same identity:
+    kpm observes only code equality + the weight nibble)."""
+    nibbles = [(words[k // 8] >> (4 * (k % 8))) & 0xF for k in range(25)]
+    weight = (words[3] >> 4) & 0xF
+    raw = bytearray(13)
+    for k in range(24):
+        raw[k // 2] |= nibbles[k] << (4 * (k % 2))
+    raw[12] = (nibbles[24] << 4) | weight
+    return bytes(raw)
+
+
+def _run_fgs(driver, prev_region, prev_mask, curr_region, curr_mask):
+    def mask_block(m):
+        h, w = m.shape
+        return (np.uint32(w).tobytes() + np.uint32(h).tobytes()
+                + np.ascontiguousarray(m.astype(np.uint8)).tobytes())
+
+    def entries(region):
+        out = b""
+        n = 0
+        for code, pts in region.points.items():
+            raw = _code_words_to_bytes(code)
+            for x, y in pts:
+                out += raw + np.uint32(x).tobytes() + np.uint32(y).tobytes()
+                n += 1
+        return out, n
+
+    pe, np_ = entries(prev_region)
+    ce, nc = entries(curr_region)
+    payload = mask_block(prev_mask) + mask_block(curr_mask) + pe + ce
+    out = run_driver(driver, ["fgs", np_, nc], payload)
+    if not out[0]:
+        return None
+    dx, dy = np.frombuffer(out[1:9], np.int32)
+    count = int(np.frombuffer(out[9:13], np.uint32)[0])
+    return (int(dx), int(dy)), count
+
+
+@pytest.mark.parametrize("seed,crop_b", [
+    (5, (40, 150, 35, 200)), (6, (20, 120, 15, 170)),
+])
+def test_fgs_cellular_match_agrees(driver, seed, crop_b):
+    """The compiled cellular matcher (kpm.hpp:371-393) agrees with the
+    spec on real extracted keypoints from overlapping world crops."""
+    from remap_tpu.core.regions import make_layout
+    from remap_tpu.spec import kpe as skpe
+    from remap_tpu.spec import kpm as skpm
+    from remap_tpu.utils import testing
+
+    rng = np.random.default_rng(seed)
+    world = testing.make_world(220, 260, rng)
+    a = world[10:110, 10:150]
+    y0, y1, x0, x1 = crop_b
+    b = world[y0:y1, x0:x1]
+
+    ra = skpe.extract(a, make_layout(a.shape[1], a.shape[0], 1, 1, 0))
+    rb = skpe.extract(b, make_layout(b.shape[1], b.shape[0], 1, 1, 0))
+    mask_a = np.ones(a.shape, np.uint8)
+    mask_b = np.ones(b.shape, np.uint8)
+
+    ref = _run_fgs(driver, ra.regions[0], mask_a, rb.regions[0], mask_b)
+    spec = skpm.match_fragments(
+        ra.regions[0], mask_a, rb.regions[0], mask_b, (15, 15)
+    )
+    assert ref == spec
+    if spec is not None:
+        assert spec[0] == (x0 - 10, y0 - 10)
+
+
+def test_fgs_cellular_rejects_unrelated(driver):
+    from remap_tpu.core.regions import make_layout
+    from remap_tpu.spec import kpe as skpe
+    from remap_tpu.spec import kpm as skpm
+    from remap_tpu.utils import testing
+
+    a = testing.make_world(120, 160, np.random.default_rng(7))
+    b = testing.make_world(120, 160, np.random.default_rng(8))
+    ra = skpe.extract(a, make_layout(160, 120, 1, 1, 0))
+    rb = skpe.extract(b, make_layout(160, 120, 1, 1, 0))
+    mask = np.ones(a.shape, np.uint8)
+    ref = _run_fgs(driver, ra.regions[0], mask, rb.regions[0], mask.copy())
+    spec = skpm.match_fragments(
+        ra.regions[0], mask, rb.regions[0], mask, (15, 15)
+    )
+    assert ref == spec
