@@ -34,7 +34,8 @@ def result(name, fps, extra=""):
     )
 
 
-def bench_stream(name, h, w, capacity=768, matcher="grid_vote", seconds=6.0):
+def bench_stream(name, h, w, capacity=768, matcher="grid_vote", seconds=6.0,
+                 batch=256, multiplicity=2):
     import jax
 
     from bench import make_clip
@@ -42,11 +43,11 @@ def bench_stream(name, h, w, capacity=768, matcher="grid_vote", seconds=6.0):
     from remap_tpu.core.regions import make_layout
     from remap_tpu.parallel.sharded import make_streaming_step
 
-    B = 256
+    B = batch
     cfg = PipelineConfig(
         screen_width=w, screen_height=h,
         region_capacity=capacity, frame_batch=B, matcher=matcher,
-        join_multiplicity=2,   # flagship protocol; overflow asserted below
+        join_multiplicity=multiplicity,  # overflow asserted below
         vote_radius=16,
     )
     layout = make_layout(w, h, cfg.grid_width, cfg.grid_height,
@@ -143,6 +144,8 @@ def main():
                  capacity=1024)
     bench_stream("align+stitch NES 256x240 xcorr", 240, 256,
                  matcher="xcorr")
+    bench_stream("align+stitch VGA 640x480 grid_vote", 480, 640,
+                 capacity=3072, batch=64, multiplicity=4)
     bench_multiclip()
     bench_pyramid()
 
