@@ -36,6 +36,10 @@ class MatchResult(NamedTuple):
     offset: jax.Array    # [P, 2] int32 (dx, dy)
     ok: jax.Array        # [P] bool
     overflow: jax.Array  # [P] bool — join multiplicity exceeded somewhere
+    #: [P] bool — out-of-radius votes *could* have changed a region
+    #: ticket (vote_radius > 0 only); retry with vote_radius=0 — the
+    #: join limits themselves did not overflow.
+    range_overflow: jax.Array = None
 
 
 def _run_counts(sorted_keys: jax.Array, sentinel: int):
@@ -236,15 +240,30 @@ def _region_votes(
         r = vote_radius
         nb = 2 * r + 1
         in_range = pair & (jnp.abs(dx) <= r) & (jnp.abs(dy) <= r)
-        overflow |= jnp.any(pair & ~in_range)
+        n_out = jnp.sum(pair & ~in_range, dtype=jnp.int32)
         iotab = jnp.arange(nb, dtype=jnp.int32)
-        a = ((dx + r)[..., None] == iotab) & in_range[..., None]
-        b = ((dy + r)[..., None] == iotab) & in_range[..., None]
-        counts2d = jax.lax.dot_general(
-            a.reshape(-1, nb).astype(jnp.bfloat16),
-            b.reshape(-1, nb).astype(jnp.bfloat16),
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+
+        # accumulate one shift column at a time: materializing the
+        # one-hots for all S columns at once costs S x [2K, nb] x 2 per
+        # region pair — gigabytes at high multiplicity (the fori keeps
+        # the live working set at a single column)
+        def shift_col(s, acc):
+            dxs = jax.lax.dynamic_index_in_dim(dx, s, 1, keepdims=False)
+            dys = jax.lax.dynamic_index_in_dim(dy, s, 1, keepdims=False)
+            rng_s = jax.lax.dynamic_index_in_dim(
+                in_range, s, 1, keepdims=False
+            )
+            a = ((dxs[:, None] + r) == iotab) & rng_s[:, None]
+            b = ((dys[:, None] + r) == iotab) & rng_s[:, None]
+            return acc + jax.lax.dot_general(
+                a.astype(jnp.bfloat16),
+                b.astype(jnp.bfloat16),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        counts2d = jax.lax.fori_loop(
+            0, dx.shape[1], shift_col, jnp.zeros((nb, nb), jnp.float32)
         )                                                  # [nb, nb]
         counts = counts2d.reshape(-1).astype(jnp.int32)
         bx = iotab[:, None].repeat(nb, 1).reshape(-1) - r   # dx per bin
@@ -258,7 +277,15 @@ def _region_votes(
         _, (top_keys, top_counts) = jax.lax.scan(
             pick_bin, counts, None, length=region_votes
         )
-        return top_keys, top_counts, overflow
+        # Exactness bound: out-of-radius pairs spread across unknown
+        # offsets, so the best any single out-of-radius offset can score
+        # is n_out.  If n_out is strictly below the ticket's weakest kept
+        # count, the ticket provably equals the full-range one (an equal
+        # count could still win the canonical smallest-key tie-break,
+        # hence >=; an unfilled ticket slot counts 0, so any out-of-range
+        # vote trips it).  Only then is a retry at vote_radius=0 needed.
+        range_ovf = (n_out > 0) & (n_out >= top_counts[-1])
+        return top_keys, top_counts, overflow, range_ovf
 
     keys = jnp.where(
         pair, _encode_offset(dx, dy, w, h), jnp.int32(sentinel)
@@ -277,7 +304,7 @@ def _region_votes(
     _, (top_keys, top_counts) = jax.lax.scan(
         pick, counts, None, length=region_votes
     )
-    return top_keys, top_counts, overflow
+    return top_keys, top_counts, overflow, jnp.zeros((), bool)
 
 
 def _borda_declare(
@@ -362,11 +389,11 @@ def match_tables(
         in_axes=1,
         out_axes=1,
     )
-    keys, counts, join_ovf = votes_fn(
+    keys, counts, join_ovf, range_ovf = votes_fn(
         prev.codes, prev.pos, prev.valid,
         curr.codes, curr.pos, curr.valid,
         use_all,
-    )  # [P, R, V], [P, R, V], [P, R]
+    )  # [P, R, V], [P, R, V], [P, R], [P, R]
 
     active = (curr.wcounts.sum(axis=-1) > 0).sum(axis=-1).astype(jnp.int32)
 
@@ -382,7 +409,12 @@ def match_tables(
         )
     )
     offset, ok = declare_fn(keys, counts, active)
-    return MatchResult(offset=offset, ok=ok, overflow=join_ovf.any(axis=1))
+    return MatchResult(
+        offset=offset,
+        ok=ok,
+        overflow=join_ovf.any(axis=1),
+        range_overflow=range_ovf.any(axis=1),
+    )
 
 
 @functools.partial(

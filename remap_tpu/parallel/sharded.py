@@ -271,7 +271,12 @@ def make_streaming_step(layout: GridLayout, cfg: PipelineConfig,
         # the very first frame of the stream never matches
         matched = res.ok & (state.started | (jnp.arange(t) > 0))
         offsets = jnp.where(matched[:, None], res.offset, 0)
-        overflow = res.overflow | tabs.overflow.any(axis=-1)
+        # conservative: the streaming step's single reported flag covers
+        # join/table limits AND the vote-radius exactness bound (hosts
+        # seal-and-retry on any of them; bench asserts none fire)
+        overflow = (
+            res.overflow | res.range_overflow | tabs.overflow.any(axis=-1)
+        )
 
         # positions: segmented cumsum with resets at breaks
         # (frc.hpp:109-115), seeded with the carried running position for

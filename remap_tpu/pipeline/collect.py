@@ -97,15 +97,17 @@ def make_collect_step(layout: GridLayout, cfg: PipelineConfig):
             )
             offset, ok, overflow = res.offset, res.ok, res.overflow
             overflow = tabs.overflow.any(axis=-1) | overflow
+            range_ovf = res.range_overflow
         else:
             prev_frames = jnp.concatenate([carry_frame, images[:-1]], axis=0)
             offset, ok = frame_matcher(prev_frames, images)
             overflow = jnp.zeros((images.shape[0],), bool)
+            range_ovf = jnp.zeros((images.shape[0],), bool)
         new_carry = (
             jax.tree.map(lambda t: t[-1:], tabs),
             images[-1:],
         )
-        return dense.median, offset, ok, overflow, new_carry
+        return dense.median, offset, ok, overflow, range_ovf, new_carry
 
     return step
 
@@ -126,14 +128,21 @@ def match_pass(
     layout: GridLayout,
     cfg: PipelineConfig,
     store: Optional[FrameStore] = None,
-) -> Tuple[np.ndarray, np.ndarray, int]:
-    """Pass 1: per-frame match offsets/flags (and fill the frame store)."""
+) -> Tuple[np.ndarray, np.ndarray, int, int]:
+    """Pass 1: per-frame match offsets/flags (and fill the frame store).
+
+    Returns (offsets, matched, overflow, range_overflow): ``overflow``
+    counts frames whose join/table limits were exceeded (escalate
+    capacity/multiplicity); ``range_overflow`` counts frames where
+    out-of-radius votes could have altered a ticket (retry with
+    vote_radius=0 only)."""
     step = make_collect_step(layout, cfg)
     b = cfg.frame_batch
 
     offsets: List[np.ndarray] = []
     matched: List[np.ndarray] = []
     overflow = 0
+    range_overflow = 0
     carry = (
         _empty_carry(layout, cfg.region_capacity),
         jnp.zeros((1, layout.height, layout.width), jnp.uint8),
@@ -160,10 +169,11 @@ def match_pass(
         images = _unpack_jit(
             jnp.asarray(pack_nibbles_batch(stacked)), stacked.shape[-1]
         )
-        median, off, ok, ovf, carry = step(images, carry)
+        median, off, ok, ovf, rovf, carry = step(images, carry)
         off = np.asarray(off)[:n_real]
         ok = np.asarray(ok)[:n_real]
         overflow += int(np.asarray(ovf)[:n_real].sum())
+        range_overflow += int(np.asarray(rovf)[:n_real].sum())
         offsets.append(off)
         matched.append(ok)
         if store is not None:
@@ -178,14 +188,14 @@ def match_pass(
         number += n_real
 
     if not offsets:
-        return np.zeros((0, 2), np.int32), np.zeros((0,), bool), 0
+        return np.zeros((0, 2), np.int32), np.zeros((0,), bool), 0, 0
     off = np.concatenate(offsets)
     ok = np.concatenate(matched)
     # frame 0 never matches anything (frc.hpp:83-95)
     ok[0] = False
     off[0] = 0
     off[~ok] = 0
-    return off, ok, overflow
+    return off, ok, overflow, range_overflow
 
 
 def segment_positions(
@@ -318,29 +328,48 @@ def collect(
         yield first
         yield from frames
 
-    offsets, matched, overflow = match_pass(chain(), layout, cfg, store)
-    while strict and overflow > 0:
-        # escalate: 4x multiplicity, then the exhaustive dense join (0);
-        # capacity doubles alongside (table overflow raises it too)
-        if cfg.join_multiplicity == 0 and cfg.region_capacity > 1 << 14:
-            break  # give up: caller sees overflow_frames > 0
-        next_mult = (
-            0
-            if cfg.join_multiplicity == 0 or cfg.join_multiplicity >= 16
-            else cfg.join_multiplicity * 4
-        )
-        # halve the batch alongside: join working-set memory scales with
-        # batch x capacity x multiplicity, so the escalated replay trades
-        # throughput for a bounded device footprint instead of OOMing
-        cfg = dataclasses.replace(
-            cfg,
-            region_capacity=cfg.region_capacity * 2,
-            join_multiplicity=next_mult,
-            frame_batch=max(8, cfg.frame_batch // 2),
-            vote_radius=0,   # histogram range overflow -> exact votes
-        )
+    offsets, matched, overflow, range_ovf = match_pass(
+        chain(), layout, cfg, store
+    )
+    while strict and (overflow > 0 or range_ovf > 0):
+        if overflow == 0:
+            # only the vote-histogram radius tripped: the join limits
+            # held, so retry with exact full-range counting alone —
+            # capacity/multiplicity/batch stay put
+            cfg = dataclasses.replace(cfg, vote_radius=0)
+        else:
+            # escalate: 4x multiplicity, then the exhaustive dense join
+            # (0); capacity doubles alongside (table overflow raises it)
+            if cfg.join_multiplicity == 0 and cfg.region_capacity > 1 << 14:
+                break  # give up: caller sees overflow_frames > 0
+            next_mult = (
+                0
+                if cfg.join_multiplicity == 0 or cfg.join_multiplicity >= 16
+                else cfg.join_multiplicity * 4
+            )
+            capacity = cfg.region_capacity * 2
+            # bound the replay batch by the join working set: the rolled
+            # join scales with batch x capacity x multiplicity, the dense
+            # endpoint with batch x regions x capacity^2 — size the batch
+            # to a ~2 GB live set instead of OOMing
+            if next_mult == 0:
+                per_frame = layout.region_count * capacity * capacity * 4
+            else:
+                per_frame = (
+                    layout.region_count * 2 * capacity * 4 * next_mult * 8
+                )
+            batch = max(4, min(cfg.frame_batch // 2, (2 << 30) // per_frame))
+            cfg = dataclasses.replace(
+                cfg,
+                region_capacity=capacity,
+                join_multiplicity=next_mult,
+                frame_batch=batch,
+                vote_radius=0,   # escalated replays always count exactly
+            )
         replay = (store.image(i) for i in range(len(store)))
-        offsets, matched, overflow = match_pass(replay, layout, cfg, None)
+        offsets, matched, overflow, range_ovf = match_pass(
+            replay, layout, cfg, None
+        )
 
     segments = segment_positions(offsets, matched)
     fragments = blit_pass(segments, store, cfg)

@@ -52,6 +52,10 @@ class StreamingStitcher:
         self._offsets: List[np.ndarray] = []
         self._matched: List[np.ndarray] = []
         self.overflow_frames = 0
+        #: frames where the vote-radius exactness bound tripped (only
+        #: possible with cfg.vote_radius > 0); join limits held, so a
+        #: re-run with vote_radius=0 alone recovers exact offsets
+        self.range_overflow_frames = 0
 
     def push(self, batch: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Process one [B, H, W] uint8 batch (B = cfg.frame_batch, except
@@ -62,7 +66,7 @@ class StreamingStitcher:
             batch = np.concatenate(
                 [batch, np.repeat(batch[-1:], b - n_real, axis=0)]
             )
-        median, off, ok, ovf, self._carry = self._step(
+        median, off, ok, ovf, rovf, self._carry = self._step(
             jnp.asarray(batch), self._carry
         )
         off = np.asarray(off)[:n_real].copy()
@@ -71,6 +75,7 @@ class StreamingStitcher:
             ok[0] = False
         off[~ok] = 0
         self.overflow_frames += int(np.asarray(ovf)[:n_real].sum())
+        self.range_overflow_frames += int(np.asarray(rovf)[:n_real].sum())
         self.store.put_batch(
             list(range(self.frame_no, self.frame_no + n_real)),
             np.asarray(batch[:n_real]),

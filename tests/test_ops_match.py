@@ -162,8 +162,9 @@ def test_vote_histogram_matches_exact(radius):
 
 
 def test_vote_histogram_range_overflow_flags():
-    """Out-of-radius offsets must raise overflow (the escalation signal),
-    never silently drop votes."""
+    """Out-of-radius offsets must raise range_overflow (the retry-exact
+    signal), never silently drop votes.  Join limits held, so the plain
+    overflow flag (capacity/multiplicity escalation) must stay clear."""
     rng = np.random.default_rng(43)
     world = testing.make_world(220, 300, rng)
     layout = make_layout(96, 64, 4, 2, 16)
@@ -179,4 +180,5 @@ def test_vote_histogram_range_overflow_flags():
     hist = jkpm.match_tables_jit(
         prev, curr, layout, weight_switch=10, vote_radius=8
     )
-    assert bool(np.asarray(hist.overflow).any())
+    assert bool(np.asarray(hist.range_overflow).any())
+    assert not bool(np.asarray(hist.overflow).any())
