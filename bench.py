@@ -70,7 +70,10 @@ def main(ingest: bool = False):
     H, W = 240, 256
     BATCH = 256
     N_BATCHES = 4
-    PIPELINE = 8          # steps dispatched per fetch
+    PIPELINE = 16         # steps dispatched per fetch (the harness tunnel
+                          # fetch costs ~30 ms RTT; deeper chains amortize
+                          # it below 2 ms/step without changing the
+                          # explicit-fetch forcing protocol)
 
     cfg = PipelineConfig(
         screen_width=W,

@@ -65,7 +65,9 @@ def bench_stream(name, h, w, capacity=768, matcher="grid_vote", seconds=6.0,
     t0 = time.perf_counter()
     reps = 0
     while time.perf_counter() - t0 < seconds:
-        for _ in range(4):
+        # 16-deep dispatch chains amortize the harness tunnel's ~30 ms
+        # fetch RTT (same explicit-fetch forcing protocol as bench.py)
+        for _ in range(16):
             offs, ok, ovf, strayed, state = step(batches[reps % 4], state)
             reps += 1
         np.asarray(offs)

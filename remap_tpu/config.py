@@ -112,10 +112,13 @@ class PipelineConfig:
     #: Capacity of the single whole-image region used in fragment splicing
     #: (fgs uses a 1x1 grid, fgs.hpp:17).
     splice_capacity: int = 2048
-    #: Region-table compaction backend: "topk" or "sort" (identical
-    #: results; relative speed depends on surrounding fusion — benchmarked
-    #: per release).
-    table_mode: str = "topk"
+    #: Region-table compaction backend: "auto" picks the two-level chunk
+    #: sort ("sort2") on TPU and the flat "topk" elsewhere.  All modes
+    #: ("topk", "sort", "sort2") select the same first-capacity row-major
+    #: keypoints; "sort2" additionally flags overflow when a 512-px chunk
+    #: exceeds its keep quota (ops.tables.SORT2_QUOTA) — the escalation
+    #: path then re-runs exactly, so results never silently diverge.
+    table_mode: str = "auto"
     #: Vote counting: 0 = exact sort over the full offset range;
     #: > 0 = bounded-offset MXU histogram of radius ``vote_radius``
     #: (out-of-range votes flag overflow and the strict collect loop

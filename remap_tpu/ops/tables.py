@@ -92,6 +92,79 @@ def _region_table(
     return codes, pos, valid, wcounts, overflow
 
 
+#: "sort2" level-1 chunk length and per-chunk keep quota.  A chunk with
+#: more than QUOTA keypoints trips the table overflow flag (exactness
+#: bound; the densest 512-px chunk measured on the bench clips holds 69).
+SORT2_CHUNK = 512
+SORT2_QUOTA = 128
+
+
+def _region_table_sort2(
+    weight_slab: jax.Array,  # [B, rh, rw] uint8
+    codes_slab: jax.Array,   # [B, rh, rw, 4] uint32
+    x_lo: int,
+    y_lo: int,
+    capacity: int,
+):
+    """Two-level row-major selection: sort cheap uint16 *local* keys
+    within 512-px chunks (level 1), then merge the per-chunk survivors'
+    global keys (level 2).  ~2x faster than the flat top_k at VGA scale
+    (level 1 touches 16-bit keys over tiny spans; level 2 sorts only
+    quota*chunks elements), and bit-identical to it whenever no chunk
+    exceeds SORT2_QUOTA keypoints — denser chunks trip the overflow flag
+    and ride the escalation path (strict callers re-run)."""
+    b, rh, rw = weight_slab.shape
+    n = rh * rw
+    wflat = weight_slab.reshape(b, n)
+    cflat = codes_slab.reshape(b, n, 4)
+    s = SORT2_CHUNK
+    pad = (-n) % s
+    flags = jnp.pad(wflat > 0, ((0, 0), (0, pad))).reshape(b, -1, s)
+    nch = flags.shape[1]
+
+    lio = jnp.arange(s, dtype=jnp.uint16)
+    lk = jnp.where(flags, lio, jnp.uint16(0x7FFF))
+    kept = jax.lax.sort(lk, dimension=2)[:, :, :SORT2_QUOTA]
+    cio = jnp.arange(nch, dtype=jnp.uint32)[None, :, None]
+    sent = jnp.uint32(1) << 30
+    glob = jnp.where(
+        kept < 0x7FFF, cio * s + kept.astype(jnp.uint32), sent
+    ).reshape(b, -1)
+    if glob.shape[1] < capacity:   # tiny regions: pad up to the table
+        glob = jnp.pad(
+            glob, ((0, 0), (0, capacity - glob.shape[1])),
+            constant_values=1 << 30,
+        )
+    skey = jax.lax.sort(glob, dimension=1)[:, :capacity]
+
+    valid = skey < sent
+    sel = jnp.where(valid, skey, 0).astype(jnp.int32)
+    codes = jnp.take_along_axis(cflat, sel[..., None], axis=1)
+    pos = jnp.stack(
+        [(sel % rw) + x_lo, (sel // rw) + y_lo], axis=-1
+    )
+    w1 = (wflat == 1).sum(axis=1).astype(jnp.int32)
+    w2 = (wflat == 2).sum(axis=1).astype(jnp.int32)
+    wcounts = jnp.stack([jnp.zeros_like(w1), w1, w2], axis=-1)
+    chunk_ovf = (
+        flags.sum(axis=-1, dtype=jnp.int32) > SORT2_QUOTA
+    ).any(axis=-1)
+    overflow = ((w1 + w2) > capacity) | chunk_ovf
+    return codes, pos, valid, wcounts, overflow
+
+
+def resolve_table_mode(mode: str) -> str:
+    """"auto" -> the two-level sort on TPU-like backends (faster at every
+    capacity measured), the flat top_k elsewhere."""
+    if mode != "auto":
+        return mode
+    return (
+        "sort2"
+        if jax.devices()[0].platform in ("tpu", "axon")
+        else "topk"
+    )
+
+
 def build_tables(
     weight: jax.Array,   # [B, H, W] uint8
     codes: jax.Array,    # [B, H, W, 4] uint32
@@ -101,15 +174,21 @@ def build_tables(
 ) -> RegionTables:
     """Extract all R region tables; regions stack on axis 1 in index order
     xs * grid_h + ys (kpr.hpp:68-91)."""
+    mode = resolve_table_mode(mode)
     per_region = []
     for xs in range(layout.grid_w):
         for ys in range(layout.grid_h):
             x_lo, x_hi, y_lo, y_hi = layout.region_span(xs, ys)
             wslab = weight[:, y_lo:y_hi, x_lo:x_hi]
             cslab = codes[:, y_lo:y_hi, x_lo:x_hi]
-            per_region.append(
-                _region_table(wslab, cslab, x_lo, y_lo, capacity, mode)
-            )
+            if mode == "sort2":
+                per_region.append(
+                    _region_table_sort2(wslab, cslab, x_lo, y_lo, capacity)
+                )
+            else:
+                per_region.append(
+                    _region_table(wslab, cslab, x_lo, y_lo, capacity, mode)
+                )
     return RegionTables(
         codes=jnp.stack([r[0] for r in per_region], axis=1),
         pos=jnp.stack([r[1] for r in per_region], axis=1),

@@ -79,3 +79,61 @@ def test_table_overflow_flagged():
     for r in range(8):
         wc = np.asarray(tabs.wcounts[0, r])
         assert (wc[1], wc[2]) == (s.regions[r].counts[1], s.regions[r].counts[2])
+
+
+def test_sort2_tables_match_topk():
+    """Two-level chunk-sort table build == flat top_k bit-exactly (valid,
+    codes, pos, wcounts) when no 512-px chunk exceeds the keep quota."""
+    from remap_tpu.core.regions import make_layout
+    from remap_tpu.ops import tables as jtab
+
+    rng = np.random.default_rng(7)
+    b, h, w = 2, 48, 96
+    layout = make_layout(w, h, 4, 2, 8)
+    weight = np.where(
+        rng.random((b, h, w)) < 0.08,
+        rng.integers(1, 3, size=(b, h, w)),
+        0,
+    ).astype(np.uint8)
+    codes = rng.integers(0, 1 << 32, size=(b, h, w, 4), dtype=np.uint32)
+    for capacity in (16, 64):   # 16 forces capacity overflow
+        ref = jtab.build_tables(
+            jnp.asarray(weight), jnp.asarray(codes), layout, capacity, "topk"
+        )
+        out = jtab.build_tables(
+            jnp.asarray(weight), jnp.asarray(codes), layout, capacity,
+            "sort2",
+        )
+        valid = np.asarray(ref.valid)
+        np.testing.assert_array_equal(np.asarray(out.valid), valid)
+        # codes at invalid slots are unspecified (topk gathers junk
+        # indices there, sort2 uses 0); consumers mask by valid
+        m = valid[..., None]
+        np.testing.assert_array_equal(
+            np.where(m, np.asarray(out.codes), 0),
+            np.where(m, np.asarray(ref.codes), 0),
+        )
+        np.testing.assert_array_equal(np.asarray(out.pos),
+                                      np.asarray(ref.pos))
+        np.testing.assert_array_equal(np.asarray(out.wcounts),
+                                      np.asarray(ref.wcounts))
+        np.testing.assert_array_equal(
+            np.asarray(out.overflow), np.asarray(ref.overflow)
+        )
+
+
+def test_sort2_quota_flag():
+    """A 512-px chunk denser than SORT2_QUOTA raises overflow (the
+    exactness bound) even when the region total fits capacity."""
+    from remap_tpu.core.regions import make_layout
+    from remap_tpu.ops import tables as jtab
+
+    layout = make_layout(96, 48, 4, 2, 8)
+    weight = np.zeros((1, 48, 96), np.uint8)
+    weight[0, 3:10, 3:24] = 1     # 147 keypoints early in region (0, 0)
+    codes = np.zeros((1, 48, 96, 4), np.uint32)
+    out = jtab.build_tables(
+        jnp.asarray(weight), jnp.asarray(codes), layout, 512, "sort2"
+    )
+    assert int(weight.sum()) > jtab.SORT2_QUOTA
+    assert bool(np.asarray(out.overflow)[0, 0])

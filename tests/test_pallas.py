@@ -182,3 +182,4 @@ def test_extract_kernel_matches_xla(interpret_pallas):
     np.testing.assert_array_equal(
         np.asarray(out.codes)[sl], np.asarray(ref.codes)[sl]
     )
+
