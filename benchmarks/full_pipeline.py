@@ -24,6 +24,9 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=1024)
     p.add_argument("--vote-radius", type=int, default=16)
+    # the synthetic world is keypoint-dense (~3000/region measured);
+    # undersized tables escalate cleanly but pay replay passes
+    p.add_argument("--capacity", type=int, default=3072)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -53,7 +56,7 @@ def main() -> None:
 
     cfg = PipelineConfig(
         screen_width=W, screen_height=H, frame_batch=256,
-        vote_radius=args.vote_radius,
+        vote_radius=args.vote_radius, region_capacity=args.capacity,
     )
 
     for run in ("cold", "warm"):

@@ -99,9 +99,12 @@ def _join_rolled(
 
     Exact as long as each curr entry's backward distance to its run start
     is <= max_run and no code repeats more than ``multiplicity`` times in
-    prev — both flagged in ``overflow`` (callers re-run a bigger config).
+    prev.  The number of equal-code pairs the enumeration *misses* is
+    returned exactly (``n_missed = sum over curr rows of the run's prev
+    count, minus the pairs enumerated``) so callers can bound whether the
+    truncation could possibly change a vote decision.
 
-    Returns (dx [2K, S], dy [2K, S], pair_valid [2K, S], overflow []).
+    Returns (dx [2K, S], dy [2K, S], pair_valid [2K, S], n_missed []).
     """
     k = p_codes.shape[0]
     n = 2 * k
@@ -150,8 +153,10 @@ def _join_rolled(
     start_val = jax.lax.cummax(jnp.where(is_start, pcum_ex, -1))
     n_prev = pcum_ex - start_val                          # for curr rows
 
-    overflow = jnp.any(is_curr & (n_prev > 0) & (d > max_run))
-    overflow |= jnp.any(is_curr & (n_prev > m))
+    # every curr row should pair with ALL prev rows of its code
+    # (kpm.hpp:92-125); the enumeration below may truncate — count the
+    # true total here, subtract what was enumerated at the end
+    total_true = jnp.sum(jnp.where(is_curr, n_prev, 0))
 
     def shifted(a, s):
         return jnp.concatenate([a[:1].repeat(s), a[:-s]]) if s else a
@@ -175,9 +180,10 @@ def _join_rolled(
     dx = jnp.stack(dxs, axis=1)
     dy = jnp.stack(dys, axis=1)
     pair = jnp.stack(valids, axis=1)
+    n_missed = total_true - jnp.sum(pair, dtype=jnp.int32)
     # spx/spy are each sorted row's own (curr-side) coordinates; a pair's
     # prev-side coordinate is spx + dx (used by the cellular matcher).
-    return dx, dy, pair, overflow, spx, spy
+    return dx, dy, pair, n_missed, spx, spy
 
 
 def _join_dense(
@@ -197,7 +203,7 @@ def _join_dense(
     # transpose to [curr, prev] so the row axis matches the rolled join's
     # curr-major convention (irrelevant to vote counting)
     return (
-        dx.T, dy.T, pair.T, jnp.zeros((), bool),
+        dx.T, dy.T, pair.T, jnp.zeros((), jnp.int32),
         c_pos[:, 0], c_pos[:, 1],
     )
 
@@ -213,21 +219,53 @@ def _region_votes(
     vote_radius: int = 0,
 ):
     """Top-`region_votes` offsets of one region pair: (keys, counts,
-    overflow)."""
+    Borda swing bound, join-involved flag).
+
+    Truncation is reported as a *bounded uncertainty*, not a hard flag:
+    the join counts exactly how many equal-code pairs it missed
+    (``n_missed``), the histogram how many in-join votes fell outside
+    the radius (``n_out``).  Unknown votes land on unknown offsets, so
+    the worst they can do is hand ``u = n_missed + n_out`` extra votes
+    to one offset.  Comparing ``u`` against the adjacent count gaps of
+    the top ``region_votes + 1`` visible offsets bounds how deep into
+    the ticket the unknown mass could reach: if ``u`` is below the gap
+    above rank k+1, ranks 1..k are provably fixed (a boosted lower
+    offset cannot cross them, and an unseen offset — at most the
+    (V+1)-th count plus ``u`` — cannot either; ``>=`` because an equal
+    count could win the canonical smallest-key tie-break).  The region's
+    Borda contribution to any single offset can then change by at most
+    ``swing`` = the points of the highest vulnerable rank (3/2/1, or 0
+    when the whole ticket is provably exact).  ``_borda_declare`` sums
+    the swings and flags only when the *declared outcome* could change —
+    which is what makes bounded join limits usable on repetitive content
+    (HUD bands, tiled worlds) where tail-of-ticket ties are routine but
+    almost never decisive."""
     sentinel = 4 * w * h
 
     c_weight = (c_codes[:, 3] >> 4) & 0xF
     c_sel = c_valid & (use_all_weights | (c_weight == 2))  # kpm.hpp:113-116
 
     if multiplicity == 0:  # exhaustive dense join (no limits)
-        dx, dy, pair, overflow = _join_dense(
+        dx, dy, pair, n_missed = _join_dense(
             p_codes, p_pos, p_valid, c_codes, c_pos, c_sel
         )[:4]
     else:
-        dx, dy, pair, overflow = _join_rolled(
+        dx, dy, pair, n_missed = _join_rolled(
             p_codes, p_pos, p_valid, c_codes, c_pos, c_sel,
             multiplicity, max_run=2 * multiplicity,
         )[:4]
+
+    def swing_bound(counts_ext, unknown):
+        # counts_ext: top region_votes+1 counts, descending.  gaps[k] is
+        # the boundary above rank k+2; the first vulnerable boundary
+        # determines how many ranks' points are in play.
+        gaps = counts_ext[:-1] - counts_ext[1:]
+        vul = unknown >= gaps
+        first = jnp.argmax(vul)               # first vulnerable boundary
+        swing = jnp.where(
+            (unknown > 0) & vul.any(), region_votes - first, 0
+        )
+        return swing.astype(jnp.int32)
 
     if vote_radius > 0:
         # MXU vote histogram: counts[dx, dy] = onehot(dx)^T @ onehot(dy)
@@ -243,28 +281,54 @@ def _region_votes(
         n_out = jnp.sum(pair & ~in_range, dtype=jnp.int32)
         iotab = jnp.arange(nb, dtype=jnp.int32)
 
-        # accumulate one shift column at a time: materializing the
-        # one-hots for all S columns at once costs S x [2K, nb] x 2 per
-        # region pair — gigabytes at high multiplicity (the fori keeps
-        # the live working set at a single column)
-        def shift_col(s, acc):
-            dxs = jax.lax.dynamic_index_in_dim(dx, s, 1, keepdims=False)
-            dys = jax.lax.dynamic_index_in_dim(dy, s, 1, keepdims=False)
-            rng_s = jax.lax.dynamic_index_in_dim(
-                in_range, s, 1, keepdims=False
+        # Bound the one-hot working set without serializing: flatten the
+        # enumerated pairs and matmul CHUNK of them at a time.  At the
+        # serving shapes one chunk covers everything (a single matmul —
+        # the fast path); only escalated replays (multiplicity 16 / the
+        # dense join, where all-at-once one-hots reach gigabytes across
+        # the vmapped region pairs) iterate.  An earlier formulation ran
+        # a fori over join *columns* — tiny serial matmuls that slowed
+        # the exact-canvas collect ~17x.
+        n_flat = dx.size
+        CHUNK = 1 << 15
+        dxf = dx.reshape(-1)
+        dyf = dy.reshape(-1)
+        rngf = in_range.reshape(-1)
+        if n_flat > CHUNK:
+            pad = (-n_flat) % CHUNK
+            dxf = jnp.pad(dxf, (0, pad))
+            dyf = jnp.pad(dyf, (0, pad))
+            rngf = jnp.pad(rngf, (0, pad))
+
+            def chunk_step(s, acc):
+                sl = s * CHUNK
+                dxs = jax.lax.dynamic_slice(dxf, (sl,), (CHUNK,))
+                dys = jax.lax.dynamic_slice(dyf, (sl,), (CHUNK,))
+                rs = jax.lax.dynamic_slice(rngf, (sl,), (CHUNK,))
+                a = ((dxs[:, None] + r) == iotab) & rs[:, None]
+                b = ((dys[:, None] + r) == iotab) & rs[:, None]
+                return acc + jax.lax.dot_general(
+                    a.astype(jnp.bfloat16),
+                    b.astype(jnp.bfloat16),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            counts2d = jax.lax.fori_loop(
+                0,
+                (n_flat + pad) // CHUNK,
+                chunk_step,
+                jnp.zeros((nb, nb), jnp.float32),
             )
-            a = ((dxs[:, None] + r) == iotab) & rng_s[:, None]
-            b = ((dys[:, None] + r) == iotab) & rng_s[:, None]
-            return acc + jax.lax.dot_general(
+        else:
+            a = ((dxf[:, None] + r) == iotab) & rngf[:, None]
+            b = ((dyf[:, None] + r) == iotab) & rngf[:, None]
+            counts2d = jax.lax.dot_general(
                 a.astype(jnp.bfloat16),
                 b.astype(jnp.bfloat16),
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
-
-        counts2d = jax.lax.fori_loop(
-            0, dx.shape[1], shift_col, jnp.zeros((nb, nb), jnp.float32)
-        )                                                  # [nb, nb]
+            )                                              # [nb, nb]
         counts = counts2d.reshape(-1).astype(jnp.int32)
         bx = iotab[:, None].repeat(nb, 1).reshape(-1) - r   # dx per bin
         by = iotab[None, :].repeat(nb, 0).reshape(-1) - r   # dy per bin
@@ -275,17 +339,17 @@ def _region_votes(
             return cnts.at[i].set(-1), (bin_keys[i], cnts[i])
 
         _, (top_keys, top_counts) = jax.lax.scan(
-            pick_bin, counts, None, length=region_votes
+            pick_bin, counts, None, length=region_votes + 1
         )
-        # Exactness bound: out-of-radius pairs spread across unknown
-        # offsets, so the best any single out-of-radius offset can score
-        # is n_out.  If n_out is strictly below the ticket's weakest kept
-        # count, the ticket provably equals the full-range one (an equal
-        # count could still win the canonical smallest-key tie-break,
-        # hence >=; an unfilled ticket slot counts 0, so any out-of-range
-        # vote trips it).  Only then is a retry at vote_radius=0 needed.
-        range_ovf = (n_out > 0) & (n_out >= top_counts[-1])
-        return top_keys, top_counts, overflow, range_ovf
+        # join truncation and out-of-radius votes pool into one unknown
+        # mass; the join-involved flag attributes a later declare-level
+        # flag to the join (multiplicity escalation) vs the radius alone
+        # (cheap vote_radius=0 retry)
+        swing = swing_bound(top_counts, n_missed + n_out)
+        return (
+            top_keys[:region_votes], top_counts[:region_votes],
+            swing, n_missed > 0,
+        )
 
     keys = jnp.where(
         pair, _encode_offset(dx, dy, w, h), jnp.int32(sentinel)
@@ -302,15 +366,20 @@ def _region_votes(
         return cnts.at[i].set(-1), (skeys[i], cnts[i])
 
     _, (top_keys, top_counts) = jax.lax.scan(
-        pick, counts, None, length=region_votes
+        pick, counts, None, length=region_votes + 1
     )
-    return top_keys, top_counts, overflow, jnp.zeros((), bool)
+    swing = swing_bound(top_counts, n_missed)
+    return (
+        top_keys[:region_votes], top_counts[:region_votes],
+        swing, n_missed > 0,
+    )
 
 
 def _borda_declare(
     keys,          # [R, V] int32 (region-major)
     counts,        # [R, V] int32
     active,        # [] int32
+    swings,        # [R] int32 — per-region Borda swing bounds
     w: int,
     h: int,
     region_count: int,
@@ -318,6 +387,18 @@ def _borda_declare(
     min_active_divisor: int,
     runner_up_divisor: int,
 ):
+    """Borda count + declare (kpm.hpp:172-211), plus the declare-level
+    stability flag.
+
+    Each region's ``swing`` bounds the unknown vote mass's reach into
+    its ticket: ranks above the first vulnerable boundary are provably
+    fixed — their holders keep exactly those points.  Hence any offset
+    can GAIN at most ``G = sum(swings)`` total points, and a specific
+    offset can LOSE points only in regions where it currently holds a
+    vulnerable rank (at most its held points there).  The declared
+    (offset, ok) is provably exact iff the winner's identity and the
+    ok-decision are unchanged at the extremes of those asymmetric
+    intervals.  Returns (offset, ok, unstable)."""
     sentinel = 4 * w * h
     # Borda points: rank r in a region's ticket earns region_votes - r
     # (kpm.hpp:176-182); empty slots (count 0) earn nothing.
@@ -345,10 +426,36 @@ def _borda_declare(
     dx, dy = _decode_offset(win_key, w, h)
 
     s1, s2 = top2[0], top2[1]
-    ok = (active >= region_count // min_active_divisor) & (s1 > 0)
+    gate = active >= region_count // min_active_divisor
+    margin = active // runner_up_divisor
+    ok = gate & (s1 > 0)
     # kpm.hpp:206-209: with a runner-up, the winner must lead by active/2.
-    ok &= (s2 == 0) | (s1 >= s2 + active // runner_up_divisor)
-    return jnp.stack([dx, dy]), ok
+    ok &= (s2 == 0) | (s1 >= s2 + margin)
+
+    # declare-level stability under the unknown vote mass (docstring)
+    G = swings.sum()
+    rup_key = skeys[jnp.argmax(jnp.where(skeys == win_key, 0, score))]
+
+    def max_loss(key):
+        # points `key` could lose: its held rank where that rank is
+        # vulnerable (rank index >= region_votes - swing)
+        held = (keys == key) & (counts > 0)          # [R, V]
+        rank = jnp.arange(region_votes, dtype=jnp.int32)[None, :]
+        vulnerable = rank >= (region_votes - swings)[:, None]
+        pts = region_votes - rank
+        return jnp.sum(jnp.where(held & vulnerable, pts, 0))
+
+    l1 = max_loss(win_key)
+    l2 = max_loss(rup_key)
+    ok_lo = gate & (s1 - l1 > 0) & (s1 - l1 >= s2 + G + margin)
+    ok_hi = gate & (s1 + G > 0) & (
+        (s2 - l2 <= 0) | (s1 + G >= s2 - l2 + margin)
+    )
+    winner_stable = s1 - l1 > s2 + G
+    unstable = (G > 0) & (
+        (ok_hi != ok_lo) | (ok & ~winner_stable)
+    )
+    return jnp.stack([dx, dy]), ok, unstable
 
 
 def match_tables(
@@ -389,7 +496,7 @@ def match_tables(
         in_axes=1,
         out_axes=1,
     )
-    keys, counts, join_ovf, range_ovf = votes_fn(
+    keys, counts, swings, join_involved = votes_fn(
         prev.codes, prev.pos, prev.valid,
         curr.codes, curr.pos, curr.valid,
         use_all,
@@ -408,12 +515,17 @@ def match_tables(
             runner_up_divisor=runner_up_divisor,
         )
     )
-    offset, ok = declare_fn(keys, counts, active)
+    offset, ok, unstable = declare_fn(keys, counts, active, swings)
+    # attribute an unstable declaration to the join when truncation
+    # contributed anywhere (multiplicity escalation, which also forces
+    # exact counting), to the radius alone otherwise (vote_radius=0
+    # retry suffices)
+    join_cause = (join_involved & (swings > 0)).any(axis=1)
     return MatchResult(
         offset=offset,
         ok=ok,
-        overflow=join_ovf.any(axis=1),
-        range_overflow=range_ovf.any(axis=1),
+        overflow=unstable & join_cause,
+        range_overflow=unstable & ~join_cause,
     )
 
 

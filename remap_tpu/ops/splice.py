@@ -51,14 +51,17 @@ def match_fragments(
     hb, wb = p_mask.shape
 
     if multiplicity == 0:  # exhaustive dense join
-        dx, dy, pair, overflow, scx, scy = _join_dense(
+        dx, dy, pair, n_missed, scx, scy = _join_dense(
             p_codes, p_pos, p_valid, c_codes, c_pos, c_valid
         )
     else:
-        dx, dy, pair, overflow, scx, scy = _join_rolled(
+        dx, dy, pair, n_missed, scx, scy = _join_rolled(
             p_codes, p_pos, p_valid, c_codes, c_pos, c_valid,
             multiplicity, max_run=2 * multiplicity,
         )
+    # the cellular vote has no per-offset margin to bound against, so any
+    # truncated pair keeps the conservative escalate-on-truncation rule
+    overflow = n_missed > 0
 
     o_sent = jnp.int32(4 * wb * hb)
     okey = jnp.where(pair, (dx + wb) * (2 * hb) + (dy + hb), o_sent)

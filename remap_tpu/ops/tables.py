@@ -153,11 +153,22 @@ def _region_table_sort2(
     return codes, pos, valid, wcounts, overflow
 
 
-def resolve_table_mode(mode: str) -> str:
-    """"auto" -> the two-level sort on TPU-like backends (faster at every
-    capacity measured), the flat top_k elsewhere."""
+def resolve_table_mode(mode: str, context: str = "stream") -> str:
+    """Resolve "auto" by context.
+
+    - ``"stream"`` (the device-resident serving loop): the two-level
+      chunk sort on TPU-like backends — fastest, and its quota-overflow
+      flag is part of the streaming contract (callers assert/escalate).
+    - ``"exact"`` (the exact-canvas batch pipeline): flat top_k — exact
+      at any chunk density.  HUD/border content routinely packs solid
+      keypoint rows (>SORT2_QUOTA per 512-px chunk), and a density-based
+      flag cannot be cleared by capacity escalation, so sort2 there
+      would force a full retry on most real clips.
+    """
     if mode != "auto":
         return mode
+    if context == "exact":
+        return "topk"
     return (
         "sort2"
         if jax.devices()[0].platform in ("tpu", "axon")
@@ -171,10 +182,11 @@ def build_tables(
     layout: GridLayout,
     capacity: int,
     mode: str = "topk",
+    context: str = "stream",
 ) -> RegionTables:
     """Extract all R region tables; regions stack on axis 1 in index order
     xs * grid_h + ys (kpr.hpp:68-91)."""
-    mode = resolve_table_mode(mode)
+    mode = resolve_table_mode(mode, context)
     per_region = []
     for xs in range(layout.grid_w):
         for ys in range(layout.grid_h):

@@ -76,7 +76,7 @@ def make_collect_step(layout: GridLayout, cfg: PipelineConfig):
         dense = kpe_ops.extract_dense(images, layout, use_pallas)
         tabs = table_ops.build_tables(
             dense.weight, dense.codes, layout, cfg.region_capacity,
-            cfg.table_mode,
+            cfg.table_mode, context="exact",
         )
         if frame_matcher is None:
             prev = jax.tree.map(
@@ -95,19 +95,27 @@ def make_collect_step(layout: GridLayout, cfg: PipelineConfig):
                 multiplicity=cfg.join_multiplicity,
                 vote_radius=cfg.vote_radius,
             )
-            offset, ok, overflow = res.offset, res.ok, res.overflow
-            overflow = tabs.overflow.any(axis=-1) | overflow
+            offset, ok = res.offset, res.ok
+            # three separate escalation signals: table capacity/quota
+            # (raise capacity / switch table mode), join truncation
+            # (raise multiplicity), vote-radius bound (count exactly)
+            tab_ovf = tabs.overflow.any(axis=-1)
+            join_ovf = res.overflow
             range_ovf = res.range_overflow
         else:
             prev_frames = jnp.concatenate([carry_frame, images[:-1]], axis=0)
             offset, ok = frame_matcher(prev_frames, images)
-            overflow = jnp.zeros((images.shape[0],), bool)
+            tab_ovf = jnp.zeros((images.shape[0],), bool)
+            join_ovf = jnp.zeros((images.shape[0],), bool)
             range_ovf = jnp.zeros((images.shape[0],), bool)
         new_carry = (
             jax.tree.map(lambda t: t[-1:], tabs),
             images[-1:],
         )
-        return dense.median, offset, ok, overflow, range_ovf, new_carry
+        return (
+            dense.median, offset, ok, tab_ovf, join_ovf, range_ovf,
+            new_carry,
+        )
 
     return step
 
@@ -128,20 +136,24 @@ def match_pass(
     layout: GridLayout,
     cfg: PipelineConfig,
     store: Optional[FrameStore] = None,
-) -> Tuple[np.ndarray, np.ndarray, int, int]:
+) -> Tuple[np.ndarray, np.ndarray, int, int, int]:
     """Pass 1: per-frame match offsets/flags (and fill the frame store).
 
-    Returns (offsets, matched, overflow, range_overflow): ``overflow``
-    counts frames whose join/table limits were exceeded (escalate
-    capacity/multiplicity); ``range_overflow`` counts frames where
-    out-of-radius votes could have altered a ticket (retry with
-    vote_radius=0 only)."""
+    Returns (offsets, matched, table_overflow, join_overflow,
+    range_overflow) — three separate escalation signals: table capacity
+    or sort2-quota overflow (raise capacity / switch table mode), join
+    truncation that could alter a ticket (raise multiplicity), and the
+    vote-radius exactness bound (count exactly with vote_radius=0).
+    Keeping them apart lets the strict loop escalate only the limit that
+    actually tripped — join-only overflow must NOT double the table
+    capacity, which would quadruple the dense-join fallback's cost."""
     step = make_collect_step(layout, cfg)
     b = cfg.frame_batch
 
     offsets: List[np.ndarray] = []
     matched: List[np.ndarray] = []
-    overflow = 0
+    table_overflow = 0
+    join_overflow = 0
     range_overflow = 0
     carry = (
         _empty_carry(layout, cfg.region_capacity),
@@ -169,10 +181,11 @@ def match_pass(
         images = _unpack_jit(
             jnp.asarray(pack_nibbles_batch(stacked)), stacked.shape[-1]
         )
-        median, off, ok, ovf, rovf, carry = step(images, carry)
+        median, off, ok, tovf, jovf, rovf, carry = step(images, carry)
         off = np.asarray(off)[:n_real]
         ok = np.asarray(ok)[:n_real]
-        overflow += int(np.asarray(ovf)[:n_real].sum())
+        table_overflow += int(np.asarray(tovf)[:n_real].sum())
+        join_overflow += int(np.asarray(jovf)[:n_real].sum())
         range_overflow += int(np.asarray(rovf)[:n_real].sum())
         offsets.append(off)
         matched.append(ok)
@@ -188,14 +201,14 @@ def match_pass(
         number += n_real
 
     if not offsets:
-        return np.zeros((0, 2), np.int32), np.zeros((0,), bool), 0, 0
+        return np.zeros((0, 2), np.int32), np.zeros((0,), bool), 0, 0, 0
     off = np.concatenate(offsets)
     ok = np.concatenate(matched)
     # frame 0 never matches anything (frc.hpp:83-95)
     ok[0] = False
     off[0] = 0
     off[~ok] = 0
-    return off, ok, overflow, range_overflow
+    return off, ok, table_overflow, join_overflow, range_overflow
 
 
 def segment_positions(
@@ -328,26 +341,39 @@ def collect(
         yield first
         yield from frames
 
-    offsets, matched, overflow, range_ovf = match_pass(
+    offsets, matched, tab_ovf, join_ovf, range_ovf = match_pass(
         chain(), layout, cfg, store
     )
-    while strict and (overflow > 0 or range_ovf > 0):
-        if overflow == 0:
-            # only the vote-histogram radius tripped: the join limits
-            # held, so retry with exact full-range counting alone —
-            # capacity/multiplicity/batch stay put
-            cfg = dataclasses.replace(cfg, vote_radius=0)
-        else:
-            # escalate: 4x multiplicity, then the exhaustive dense join
-            # (0); capacity doubles alongside (table overflow raises it)
-            if cfg.join_multiplicity == 0 and cfg.region_capacity > 1 << 14:
+    while strict and (tab_ovf > 0 or join_ovf > 0 or range_ovf > 0):
+        # Escalate ONLY the limit that tripped (match_pass docstring).
+        if tab_ovf > 0:
+            if (
+                table_ops.resolve_table_mode(cfg.table_mode, "exact")
+                == "sort2"
+            ):
+                # sort2's chunk-quota flag is density-based — capacity
+                # escalation can NEVER clear it (HUD/border rows pack
+                # solid keypoint runs).  Switch to the quota-free top_k
+                # selection first, with everything else unchanged.
+                cfg = dataclasses.replace(cfg, table_mode="topk")
+            elif cfg.region_capacity >= 1 << 14:
                 break  # give up: caller sees overflow_frames > 0
-            next_mult = (
-                0
-                if cfg.join_multiplicity == 0 or cfg.join_multiplicity >= 16
-                else cfg.join_multiplicity * 4
+            else:
+                cfg = dataclasses.replace(
+                    cfg,
+                    region_capacity=cfg.region_capacity * 2,
+                    vote_radius=0,
+                )
+        elif join_ovf > 0:
+            # 4x multiplicity, then the exhaustive dense join (0); the
+            # table capacity stays put — doubling it here would quadruple
+            # the dense endpoint's quadratic cost for no benefit
+            if cfg.join_multiplicity == 0:
+                break  # dense is exact; overflow here is impossible
+            next_mult = 0 if cfg.join_multiplicity >= 16 else (
+                cfg.join_multiplicity * 4
             )
-            capacity = cfg.region_capacity * 2
+            capacity = cfg.region_capacity
             # bound the replay batch by the join working set: the rolled
             # join scales with batch x capacity x multiplicity, the dense
             # endpoint with batch x regions x capacity^2 — size the batch
@@ -358,16 +384,20 @@ def collect(
                 per_frame = (
                     layout.region_count * 2 * capacity * 4 * next_mult * 8
                 )
-            batch = max(4, min(cfg.frame_batch // 2, (2 << 30) // per_frame))
+            batch = max(1, min(cfg.frame_batch, (2 << 30) // per_frame))
             cfg = dataclasses.replace(
                 cfg,
-                region_capacity=capacity,
                 join_multiplicity=next_mult,
                 frame_batch=batch,
                 vote_radius=0,   # escalated replays always count exactly
             )
+        else:
+            # only the vote-histogram radius tripped: the join limits
+            # held, so retry with exact full-range counting alone —
+            # capacity/multiplicity/batch stay put
+            cfg = dataclasses.replace(cfg, vote_radius=0)
         replay = (store.image(i) for i in range(len(store)))
-        offsets, matched, overflow, range_ovf = match_pass(
+        offsets, matched, tab_ovf, join_ovf, range_ovf = match_pass(
             replay, layout, cfg, None
         )
 
@@ -378,5 +408,5 @@ def collect(
         store=store,
         offsets=offsets,
         matched=matched,
-        overflow_frames=overflow,
+        overflow_frames=tab_ovf + join_ovf + range_ovf,
     )

@@ -66,7 +66,7 @@ class StreamingStitcher:
             batch = np.concatenate(
                 [batch, np.repeat(batch[-1:], b - n_real, axis=0)]
             )
-        median, off, ok, ovf, rovf, self._carry = self._step(
+        median, off, ok, tovf, jovf, rovf, self._carry = self._step(
             jnp.asarray(batch), self._carry
         )
         off = np.asarray(off)[:n_real].copy()
@@ -74,7 +74,8 @@ class StreamingStitcher:
         if self.frame_no == 0:
             ok[0] = False
         off[~ok] = 0
-        self.overflow_frames += int(np.asarray(ovf)[:n_real].sum())
+        ovf = np.asarray(tovf)[:n_real] | np.asarray(jovf)[:n_real]
+        self.overflow_frames += int(ovf.sum())
         self.range_overflow_frames += int(np.asarray(rovf)[:n_real].sum())
         self.store.put_batch(
             list(range(self.frame_no, self.frame_no + n_real)),

@@ -129,3 +129,32 @@ def test_strict_retry_on_repetitive_texture():
     assert len(res.fragments) == len(sfrags)
     for jf, sf in zip(res.fragments, sfrags):
         np.testing.assert_array_equal(jf.dots, sf.dots)
+
+
+def test_strict_sort2_quota_escalates_to_topk():
+    """HUD-like content packs solid keypoint rows (> SORT2_QUOTA per
+    512-px chunk).  With explicit table_mode="sort2" the strict loop must
+    switch to the quota-free top_k selection — NOT escalate capacity,
+    which can never clear a density-based flag — and converge exactly."""
+    import dataclasses as _dc
+
+    rng = np.random.default_rng(11)
+    world = rng.integers(0, 16, size=(128, 160), dtype=np.uint8)
+    frames = []
+    for x, y in [(10, 10), (12, 11), (15, 13), (14, 16)]:
+        f = world[y : y + 64, x : x + 96].copy()
+        # dense alternating stripe band: nearly every pixel of these rows
+        # is a keypoint, far beyond the per-chunk quota
+        f[8:20] = np.tile(
+            np.array([[1, 9], [9, 1]], np.uint8), (6, 48)
+        )
+        frames.append(f)
+
+    cfg = _dc.replace(CFG, table_mode="sort2", frame_batch=4)
+    res = jcollect.collect(frames, cfg)
+    assert res.overflow_frames == 0
+
+    ref = jcollect.collect(frames, _dc.replace(CFG, table_mode="topk",
+                                               frame_batch=4))
+    np.testing.assert_array_equal(res.offsets, ref.offsets)
+    np.testing.assert_array_equal(res.matched, ref.matched)

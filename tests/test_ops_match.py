@@ -182,3 +182,80 @@ def test_vote_histogram_range_overflow_flags():
     )
     assert bool(np.asarray(hist.range_overflow).any())
     assert not bool(np.asarray(hist.overflow).any())
+
+
+def _hand_tables(layout, n_unique, n_rep, offset=(3, 2), capacity=256):
+    """[1, R, K] tables: n_unique unique codes all voting ``offset``,
+    plus ONE code repeated n_rep times on both sides (its pairs vote
+    scattered offsets).  Deterministic control over join truncation."""
+    import numpy as _np
+
+    r_cnt = layout.region_count
+    k = capacity
+    rng = _np.random.default_rng(5)
+    codes = _np.zeros((2, r_cnt, k, 4), _np.uint32)
+    pos = _np.zeros((2, r_cnt, k, 2), _np.int32)
+    valid = _np.zeros((2, r_cnt, k), bool)
+    n = n_unique + n_rep
+    assert n <= k
+    for r in range(r_cnt):
+        uc = rng.integers(1, 1 << 30, size=(n_unique, 4), dtype=_np.uint32)
+        rep = rng.integers(1, 1 << 30, size=(4,), dtype=_np.uint32)
+        codes[:, r, :n_unique] = uc
+        codes[:, r, n_unique:n] = rep
+        cx = rng.integers(5, 60, size=n)
+        cy = rng.integers(5, 40, size=n)
+        pos[1, r, :n, 0] = cx
+        pos[1, r, :n, 1] = cy
+        pos[0, r, :n, 0] = cx + offset[0]
+        pos[0, r, :n, 1] = cy + offset[1]
+        # scatter the repeated code's prev positions so its pairwise
+        # offsets disagree with the main offset
+        pos[0, r, n_unique:n, 0] = rng.integers(5, 90, size=n_rep)
+        pos[0, r, n_unique:n, 1] = rng.integers(5, 60, size=n_rep)
+        valid[:, r, :n] = True
+    wc = _np.zeros((2, r_cnt, 3), _np.int32)
+    wc[:, :, 1] = n  # all weight-1 -> adaptive switch uses all weights
+    def tab(side):
+        return jtab.RegionTables(
+            codes=jnp.asarray(codes[side][None]),
+            pos=jnp.asarray(pos[side][None]),
+            valid=jnp.asarray(valid[side][None]),
+            wcounts=jnp.asarray(wc[side][None]),
+            overflow=jnp.zeros((1, r_cnt), bool),
+        )
+    return tab(0), tab(1)
+
+
+def test_join_decision_bound():
+    """A truncated join (repeated code beyond multiplicity) must flag
+    overflow ONLY when the missed-pair mass could alter a region ticket:
+    a few repeats against a dominant offset are provably harmless (no
+    flag, result equals the dense join); heavy repeats must flag."""
+    layout = make_layout(96, 64, 4, 2, 16)
+
+    # 4 repeats at multiplicity 2: n_missed = 4*4 - 4*2 = 8 per region,
+    # far below the 200-vote margin -> provably stable, no flag
+    prev, curr = _hand_tables(layout, n_unique=200, n_rep=4)
+    small = jkpm.match_tables_jit(prev, curr, layout, weight_switch=10,
+                                  multiplicity=2)
+    dense = jkpm.match_tables_jit(prev, curr, layout, weight_switch=10,
+                                  multiplicity=0)
+    assert not bool(np.asarray(small.overflow).any())
+    assert bool(np.asarray(small.ok)[0])
+    np.testing.assert_array_equal(np.asarray(small.offset),
+                                  np.asarray(dense.offset))
+
+    # sanity: the truncation is real (the join does miss pairs)
+    out = jkpm._join_rolled(
+        prev.codes[0, 0], prev.pos[0, 0], prev.valid[0, 0],
+        curr.codes[0, 0], curr.pos[0, 0], curr.valid[0, 0],
+        2, max_run=4,
+    )
+    assert int(out[3]) > 0
+
+    # 60 repeats: missed mass 60*60 - 60*2 >> the margin -> must flag
+    prev, curr = _hand_tables(layout, n_unique=40, n_rep=60)
+    big = jkpm.match_tables_jit(prev, curr, layout, weight_switch=10,
+                                multiplicity=2)
+    assert bool(np.asarray(big.overflow).any())
