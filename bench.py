@@ -82,7 +82,9 @@ def main(ingest: bool = False):
         # lane-aligned size the no-overflow assertion below admits on this
         # load (512 overflows -> escalation would be required)
         region_capacity=640,
-        join_multiplicity=2,
+        # the declare-level stability bound (ops/kpm.py) proves M=1
+        # sufficient on this load -- the assertion below is the proof
+        join_multiplicity=1,
         frame_batch=BATCH,
         # bounded-offset MXU vote histogram; the no-overflow assertion
         # below proves no vote left the radius (or the join limits)

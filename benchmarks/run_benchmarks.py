@@ -35,7 +35,7 @@ def result(name, fps, extra=""):
 
 
 def bench_stream(name, h, w, capacity=768, matcher="grid_vote", seconds=6.0,
-                 batch=256, multiplicity=2):
+                 batch=256, multiplicity=1):
     import jax
 
     from bench import make_clip
@@ -148,7 +148,7 @@ def main():
     bench_stream("align+stitch NES 256x240 xcorr", 240, 256,
                  matcher="xcorr")
     bench_stream("align+stitch VGA 640x480 grid_vote", 480, 640,
-                 capacity=3072, batch=64, multiplicity=4)
+                 capacity=3072, batch=64)
     bench_multiclip()
     bench_pyramid()
 

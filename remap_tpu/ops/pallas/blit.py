@@ -47,43 +47,58 @@ def padded_dims(atlas_h: int, atlas_w: int):
     return ah, aw
 
 
-#: VMEM budget for the resident accumulator (the 16 MB core budget minus
-#: slack for the double-buffered frame blocks).
-_ACC_BUDGET = 10 * 1024 * 1024
+#: VMEM budget for the resident accumulator plus the double-buffered
+#: frame blocks (the 16 MB core budget minus compiler slack).
+_VMEM_BUDGET = 13 * 1024 * 1024
 
 
-def _groups_for(ah: int, aw: int) -> int:
-    """Channel groups so the resident int32 accumulator fits VMEM."""
-    for groups in (1, 2, 4, 8, 16):
-        if (DEPTH // groups) * ah * aw * 4 <= _ACC_BUDGET:
-            return groups
+def _pick_tiling(ah: int, aw: int, fh: int, fw: int):
+    """Choose (frames per grid step, channel groups) jointly: the largest
+    frame group whose double-buffered blocks plus the channel-grouped
+    accumulator fit VMEM.  Bigger frame groups amortize per-grid-step
+    overhead (the measured wall at one frame/step); more channel groups
+    shrink the accumulator but re-read every frame once per group."""
+    for group in (GROUP, 4, 2, 1):
+        budget = _VMEM_BUDGET - 2 * group * fh * fw * 4
+        if budget <= 0:
+            continue
+        for groups in (1, 2, 4, 8, 16):
+            if (DEPTH // groups) * ah * aw * 4 <= budget:
+                return group, groups
     raise ValueError(f"atlas {ah}x{aw} too large for a VMEM-resident blit")
 
 
-def _make_blit_kernel(gdepth: int):
+#: frames blitted per grid step.  One frame per step leaves the kernel
+#: dominated by per-step pipeline overhead (~5.6 ms for 256 NES frames
+#: measured); unrolling GROUP frames per step amortizes it.
+GROUP = 8
+
+
+def _make_blit_kernel(gdepth: int, group: int):
     def _blit_kernel(base_ref, frames_ref, atlas_ref, acc, sem):
         g = pl.program_id(0)  # channel group (bounds resident VMEM planes)
-        b = pl.program_id(1)  # frame index
+        b = pl.program_id(1)  # frame-group index
         nb = pl.num_programs(1)
 
         @pl.when(b == 0)
         def _():
             acc[...] = jnp.zeros_like(acc)
 
-        # [fh, fw] int32, pre-rolled; no-vote pixels encoded as 16
-        frame = frames_ref[0]
-        h, w = frame.shape
-        x = pl.multiple_of(base_ref[b, 0], LANE)
-        y = pl.multiple_of(base_ref[b, 1], SUB)
-
-        cur = acc[:, pl.ds(y, h), pl.ds(x, w)]      # [gdepth, h, w] int32
         base_c = g * gdepth
-        planes = [
-            cur[c]
-            + jnp.where(frame == base_c + c, jnp.int32(1), jnp.int32(0))
-            for c in range(gdepth)
-        ]
-        acc[:, pl.ds(y, h), pl.ds(x, w)] = jnp.stack(planes)
+        for i in range(group):   # static unroll
+            # [fh, fw] int32, pre-rolled; no-vote pixels encoded as 16
+            frame = frames_ref[0, i]
+            h, w = frame.shape
+            x = pl.multiple_of(base_ref[b * group + i, 0], LANE)
+            y = pl.multiple_of(base_ref[b * group + i, 1], SUB)
+
+            cur = acc[:, pl.ds(y, h), pl.ds(x, w)]  # [gdepth, h, w] int32
+            planes = [
+                cur[c]
+                + jnp.where(frame == base_c + c, jnp.int32(1), jnp.int32(0))
+                for c in range(gdepth)
+            ]
+            acc[:, pl.ds(y, h), pl.ds(x, w)] = jnp.stack(planes)
 
         @pl.when(b == nb - 1)
         def _():
@@ -137,15 +152,27 @@ def blit_frames(
 
     pf = jax.vmap(prep)(frames, vote_ok, rx, ry)
 
-    groups = _groups_for(ah, aw)
+    # pad the frame count to a group multiple with no-vote frames
+    group, groups = _pick_tiling(ah, aw, fh, fw)
+    n_groups = -(-f // group)
+    fpad = n_groups * group - f
+    if fpad:
+        pf = jnp.concatenate(
+            [pf, jnp.full((fpad, fh, fw), 16, jnp.int32)], axis=0
+        )
+        base = jnp.concatenate(
+            [base, jnp.zeros((fpad, 2), jnp.int32)], axis=0
+        )
+    pf = pf.reshape(n_groups, group, fh, fw)
+
     gdepth = DEPTH // groups
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(groups, f),
+        grid=(groups, n_groups),
         in_specs=[
             pl.BlockSpec(
-                (1, fh, fw),
-                lambda g, b, base: (b, 0, 0),
+                (1, group, fh, fw),
+                lambda g, b, base: (b, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -156,7 +183,7 @@ def blit_frames(
         ],
     )
     out = pl.pallas_call(
-        _make_blit_kernel(gdepth),
+        _make_blit_kernel(gdepth, group),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((DEPTH, ah, aw), jnp.int32),
     )(base, pf)
