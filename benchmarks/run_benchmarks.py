@@ -148,7 +148,7 @@ def main():
     bench_stream("align+stitch NES 256x240 xcorr", 240, 256,
                  matcher="xcorr")
     bench_stream("align+stitch VGA 640x480 grid_vote", 480, 640,
-                 capacity=3072, batch=64)
+                 capacity=3072, batch=128)
     bench_multiclip()
     bench_pyramid()
 
