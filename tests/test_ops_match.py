@@ -259,3 +259,59 @@ def test_join_decision_bound():
     big = jkpm.match_tables_jit(prev, curr, layout, weight_switch=10,
                                 multiplicity=2)
     assert bool(np.asarray(big.overflow).any())
+
+
+def test_join_decision_bound_flags_tight_race():
+    """When two offsets race within the missed-pair mass (the winner's
+    per-region rank is vulnerable), the bound must flag even though the
+    Borda margin looks healthy: a handful of unknown votes per region
+    could flip every region's ranking."""
+    import numpy as _np
+
+    layout = make_layout(96, 64, 4, 2, 16)
+    r_cnt = layout.region_count
+    k = 256
+    rng = _np.random.default_rng(9)
+    codes = _np.zeros((2, r_cnt, k, 4), _np.uint32)
+    pos = _np.zeros((2, r_cnt, k, 2), _np.int32)
+    valid = _np.zeros((2, r_cnt, k), bool)
+    n_a, n_b, n_rep = 20, 18, 4          # (3,2) leads (7,5) by only 2
+    n = n_a + n_b + n_rep
+    for r in range(r_cnt):
+        uc = rng.integers(1, 1 << 30, size=(n_a + n_b, 4), dtype=_np.uint32)
+        rep = rng.integers(1, 1 << 30, size=(4,), dtype=_np.uint32)
+        codes[:, r, : n_a + n_b] = uc
+        codes[:, r, n_a + n_b : n] = rep
+        cx = rng.integers(5, 60, size=n)
+        cy = rng.integers(5, 40, size=n)
+        pos[1, r, :n, 0] = cx
+        pos[1, r, :n, 1] = cy
+        pos[0, r, :n_a, 0] = cx[:n_a] + 3
+        pos[0, r, :n_a, 1] = cy[:n_a] + 2
+        pos[0, r, n_a : n_a + n_b, 0] = cx[n_a : n_a + n_b] + 7
+        pos[0, r, n_a : n_a + n_b, 1] = cy[n_a : n_a + n_b] + 5
+        pos[0, r, n_a + n_b : n, 0] = rng.integers(5, 90, size=n_rep)
+        pos[0, r, n_a + n_b : n, 1] = rng.integers(5, 60, size=n_rep)
+        valid[:, r, :n] = True
+    wc = _np.zeros((2, r_cnt, 3), _np.int32)
+    wc[:, :, 1] = n
+
+    def tab(side):
+        return jtab.RegionTables(
+            codes=jnp.asarray(codes[side][None]),
+            pos=jnp.asarray(pos[side][None]),
+            valid=jnp.asarray(valid[side][None]),
+            wcounts=jnp.asarray(wc[side][None]),
+            overflow=jnp.zeros((1, r_cnt), bool),
+        )
+
+    prev, curr = tab(0), tab(1)
+    small = jkpm.match_tables_jit(prev, curr, layout, weight_switch=10,
+                                  multiplicity=2)
+    # missed mass 4*4-4*2 = 8 >= the 2-vote gap between the racing
+    # offsets -> every region's winner rank is vulnerable -> must flag
+    assert bool(np.asarray(small.overflow).any())
+    dense = jkpm.match_tables_jit(prev, curr, layout, weight_switch=10,
+                                  multiplicity=0)
+    assert not bool(np.asarray(dense.overflow).any())
+    assert tuple(int(v) for v in np.asarray(dense.offset)[0]) == (3, 2)
