@@ -13,6 +13,7 @@ by the streaming collector.
 
 from __future__ import annotations
 
+import ctypes
 import os
 import re
 from typing import Iterator, List, Optional, Sequence, Tuple
@@ -21,6 +22,47 @@ import numpy as np
 
 from remap_tpu.core import palette
 from remap_tpu.core.geometry import Rect
+
+_FEED_LIB: Optional[ctypes.CDLL] = None
+_FEED_LIB_TRIED = False
+
+
+def _native_feed() -> Optional[ctypes.CDLL]:
+    """Build/load the native batch reader (native/feed.cpp) on first use;
+    None -> callers fall back to the NumPy path."""
+    global _FEED_LIB, _FEED_LIB_TRIED
+    if _FEED_LIB_TRIED:
+        return _FEED_LIB
+    _FEED_LIB_TRIED = True
+    native_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "native"
+    )
+    path = os.path.join(native_dir, "libremapfeed.so")
+    if not os.path.exists(path) and os.path.exists(
+        os.path.join(native_dir, "Makefile")
+    ):
+        import subprocess
+
+        subprocess.run(
+            ["make", "-C", native_dir], capture_output=True, check=False
+        )
+    if os.path.exists(path):
+        lib = ctypes.CDLL(path)
+        lib.feed_read_packed_batch.restype = ctypes.c_int
+        lib.feed_read_packed_batch.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        _FEED_LIB = lib
+    return _FEED_LIB
 
 
 def _numeric_sort(names: Sequence[str]) -> List[str]:
@@ -82,6 +124,56 @@ class RawDirectoryFeed:
         feed.crop = crop
         feed.files = self.files
         return feed
+
+    @property
+    def out_dims(self) -> Tuple[int, int]:
+        """(height, width) of produced frames (crop-aware)."""
+        if self.crop is not None:
+            c = self.crop
+            return c.bottom - c.top, c.right - c.left
+        return self.height, self.width
+
+    def read_packed_batch(self, start: int, count: int) -> np.ndarray:
+        """Read frames [start, start+count) cropped and packed two pixels
+        per byte — [count, ch, ceil(cw/2)] uint8, identical to
+        ``pack_nibbles_batch`` of the ``read()`` images.  Uses the native
+        threaded reader (native/feed.cpp) when available."""
+        ch, cw = self.out_dims
+        if self.crop is not None:
+            left, top = self.crop.left, self.crop.top
+        else:
+            left, top = 0, 0
+        paths = self.files[start : start + count]
+        count = len(paths)
+        row_bytes = (cw + 1) // 2
+        lib = _native_feed()
+        if lib is not None and count:
+            stride = max(len(p.encode()) for p in paths) + 1
+            buf = np.zeros((count, stride), np.uint8)
+            for i, p in enumerate(paths):
+                e = p.encode()
+                buf[i, : len(e)] = np.frombuffer(e, np.uint8)
+            out = np.empty((count, ch, row_bytes), np.uint8)
+            rc = lib.feed_read_packed_batch(
+                buf.ctypes.data_as(ctypes.c_char_p),
+                stride,
+                count,
+                self.width,
+                self.height,
+                left,
+                top,
+                cw,
+                ch,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            )
+            if rc == 0:
+                return out
+        imgs = np.stack(
+            [self.read(start + i) for i in range(count)]
+        ) if count else np.zeros((0, ch, cw), np.uint8)
+        if cw % 2:
+            imgs = np.pad(imgs, ((0, 0), (0, 0), (0, 1)))
+        return (imgs[:, :, 0::2] << 4) | imgs[:, :, 1::2]
 
 
 class PngDirectoryFeed:

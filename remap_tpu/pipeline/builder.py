@@ -101,11 +101,19 @@ def build(
 
     crop = window.crop
 
-    def cropped():
-        for f in frames_factory():
-            yield f[crop.top : crop.bottom, crop.left : crop.right]
+    probe = frames_factory()
+    if hasattr(probe, "with_crop"):
+        # feeds (io.frames) re-crop natively: collect then reads packed
+        # batches straight off disk (native/feed.cpp fast path)
+        source = probe.with_crop(crop)
+    else:
+        def cropped(src=probe):
+            for f in src:
+                yield f[crop.top : crop.bottom, crop.left : crop.right]
 
-    col = collect_stage.collect(cropped(), cfg)
+        source = cropped()
+
+    col = collect_stage.collect(source, cfg)
     cb.on_collect(col)
     if checkpoint_dir:
         from remap_tpu.io import checkpoint

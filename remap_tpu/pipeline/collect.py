@@ -160,27 +160,42 @@ def match_pass(
         jnp.zeros((1, layout.height, layout.width), jnp.uint8),
     )
 
-    it = iter(frames)
+    feed = frames if hasattr(frames, "read_packed_batch") else None
+    it = None if feed is not None else iter(frames)
     batch: List[np.ndarray] = []
     number = 0
     done = False
     while not done:
-        batch.clear()
-        while len(batch) < b:
-            try:
-                batch.append(next(it))
-            except StopIteration:
-                done = True
+        if feed is not None:
+            # native/packed fast path: the feed reads, crops and packs
+            # batches off the GIL (native/feed.cpp); nothing unpacks on
+            # the host
+            packed = feed.read_packed_batch(number, b)
+            n_real = len(packed)
+            if n_real == 0:
                 break
-        if not batch:
-            break
-        n_real = len(batch)
-        padded = batch + [batch[-1]] * (b - n_real)
-        stacked = np.stack(padded)
+            done = n_real < b
+            if n_real < b:
+                packed = np.concatenate(
+                    [packed, np.repeat(packed[-1:], b - n_real, axis=0)]
+                )
+            w_full = layout.width
+        else:
+            batch.clear()
+            while len(batch) < b:
+                try:
+                    batch.append(next(it))
+                except StopIteration:
+                    done = True
+                    break
+            if not batch:
+                break
+            n_real = len(batch)
+            stacked = np.stack(batch + [batch[-1]] * (b - n_real))
+            packed = pack_nibbles_batch(stacked)
+            w_full = stacked.shape[-1]
         # ship packed (2 px/byte) over the slow link, unpack on device
-        images = _unpack_jit(
-            jnp.asarray(pack_nibbles_batch(stacked)), stacked.shape[-1]
-        )
+        images = _unpack_jit(jnp.asarray(packed), w_full)
         median, off, ok, tovf, jovf, rovf, carry = step(images, carry)
         off = np.asarray(off)[:n_real]
         ok = np.asarray(ok)[:n_real]
@@ -193,10 +208,10 @@ def match_pass(
             meds = (
                 np.asarray(median)[:n_real] if cfg.store_medians else None
             )
-            store.put_batch(
+            store.put_packed_batch(
                 list(range(number, number + n_real)),
-                stacked[:n_real],
-                meds,
+                np.asarray(packed[:n_real]),
+                pack_nibbles_batch(meds) if meds is not None else None,
             )
         number += n_real
 
@@ -325,24 +340,35 @@ def collect(
     join-multiplicity overflow re-runs with doubled limits until the
     results are provably exhaustive (fast defaults, guaranteed-exact
     results)."""
-    frames = iter(frames)
-    first = next(frames, None)
-    if first is None:
-        return CollectResult([], FrameStore(0, 0), np.zeros((0, 2), np.int32),
-                             np.zeros((0,), bool), 0)
-    h, w = first.shape
+    if hasattr(frames, "read_packed_batch"):
+        if len(frames) == 0:
+            return CollectResult([], FrameStore(0, 0),
+                                 np.zeros((0, 2), np.int32),
+                                 np.zeros((0,), bool), 0)
+        h, w = frames.out_dims
+        source = frames
+    else:
+        frames = iter(frames)
+        first = next(frames, None)
+        if first is None:
+            return CollectResult([], FrameStore(0, 0),
+                                 np.zeros((0, 2), np.int32),
+                                 np.zeros((0,), bool), 0)
+        h, w = first.shape
+
+        def chain(first=first, rest=frames):
+            yield first
+            yield from rest
+
+        source = chain()
     if layout is None:
         layout = make_layout(
             w, h, cfg.grid_width, cfg.grid_height, cfg.grid_overlap
         )
     store = FrameStore(h, w)
 
-    def chain():
-        yield first
-        yield from frames
-
     offsets, matched, tab_ovf, join_ovf, range_ovf = match_pass(
-        chain(), layout, cfg, store
+        source, layout, cfg, store
     )
     while strict and (tab_ovf > 0 or join_ovf > 0 or range_ovf > 0):
         # Escalate ONLY the limit that tripped (match_pass docstring).

@@ -72,6 +72,18 @@ class FrameStore:
             if packed_m is not None:
                 self._medians[no] = packed_m[k]
 
+    def put_packed_batch(
+        self,
+        numbers: List[int],
+        packed_images: np.ndarray,   # [B, H, ceil(W/2)] uint8
+        packed_medians: Optional[np.ndarray] = None,
+    ) -> None:
+        """Store already-packed rows (the native feed's output format)."""
+        for k, no in enumerate(numbers):
+            self._images[no] = packed_images[k]
+            if packed_medians is not None:
+                self._medians[no] = packed_medians[k]
+
     def image(self, number: int) -> np.ndarray:
         return unpack_nibbles(self._images[number], self.width)
 

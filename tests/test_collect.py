@@ -158,3 +158,26 @@ def test_strict_sort2_quota_escalates_to_topk():
                                                frame_batch=4))
     np.testing.assert_array_equal(res.offsets, ref.offsets)
     np.testing.assert_array_equal(res.matched, ref.matched)
+
+
+def test_collect_from_feed_matches_iterator(tmp_path):
+    """collect() fed a RawDirectoryFeed (the packed native fast path)
+    must produce exactly what the plain frame-iterator path does."""
+    from remap_tpu.io import frames as fio
+
+    rng = np.random.default_rng(21)
+    world = testing.make_world(170, 220, rng)
+    path = testing.make_camera_path(12, (170, 220), (64, 96), rng,
+                                    max_step=3)
+    frames = [world[y : y + 64, x : x + 96] for x, y in path]
+    for i, f in enumerate(frames):
+        (tmp_path / str(i)).write_bytes(f.tobytes())
+
+    feed = fio.RawDirectoryFeed(str(tmp_path), 96, 64)
+    ref = jcollect.collect(frames, CFG)
+    got = jcollect.collect(feed, CFG)
+    np.testing.assert_array_equal(got.offsets, ref.offsets)
+    np.testing.assert_array_equal(got.matched, ref.matched)
+    assert len(got.fragments) == len(ref.fragments)
+    for a, b in zip(got.fragments, ref.fragments):
+        np.testing.assert_array_equal(a.dots, b.dots)

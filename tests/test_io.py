@@ -116,3 +116,41 @@ def test_indexed_png_fast_path(tmp_path):
     feed = frames_io.PngDirectoryFeed(str(tmp_path))
     out = feed.read(0)
     np.testing.assert_array_equal(out, codes)
+
+
+def test_native_feed_packed_batch_parity(tmp_path):
+    """native/feed.cpp batch reader == NumPy pack of read() frames,
+    including crop, odd widths, and the short-file->blank quirk."""
+    from remap_tpu.core.geometry import Rect
+    from remap_tpu.io import frames as fio
+
+    rng = np.random.default_rng(3)
+    H, W = 31, 45
+    imgs = rng.integers(0, 16, size=(6, H, W), dtype=np.uint8)
+    for i in range(6):
+        (tmp_path / str(i)).write_bytes(imgs[i].tobytes())
+    (tmp_path / "6").write_bytes(b"xx")   # short -> blank (nil.hpp:20-22)
+
+    feed = fio.RawDirectoryFeed(str(tmp_path), W, H)
+
+    def ref_pack(ims):
+        if ims.shape[-1] % 2:
+            ims = np.pad(ims, ((0, 0), (0, 0), (0, 1)))
+        return (ims[:, :, 0::2] << 4) | ims[:, :, 1::2]
+
+    exp = ref_pack(np.concatenate([imgs, np.zeros((1, H, W), np.uint8)]))
+    np.testing.assert_array_equal(feed.read_packed_batch(0, 7), exp)
+
+    crop = Rect(left=3, top=2, right=36, bottom=19)
+    cf = feed.with_crop(crop)
+    exp_c = ref_pack(imgs[1:5, 2:19, 3:36])
+    np.testing.assert_array_equal(cf.read_packed_batch(1, 4), exp_c)
+    assert cf.out_dims == (17, 33)
+
+    # the NumPy fallback must agree bit-for-bit
+    lib = fio._FEED_LIB
+    fio._FEED_LIB = None
+    try:
+        np.testing.assert_array_equal(cf.read_packed_batch(1, 4), exp_c)
+    finally:
+        fio._FEED_LIB = lib
