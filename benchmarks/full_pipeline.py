@@ -28,6 +28,12 @@ def main() -> None:
     # undersized tables escalate cleanly but pay replay passes
     p.add_argument("--capacity", type=int, default=3072)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument(
+        "--feed", action="store_true",
+        help="stage frames on disk and build from RawDirectoryFeed "
+             "(the CLI's production path: native batch reader + "
+             "double-buffered collect)",
+    )
     args = p.parse_args()
 
     import jax
@@ -59,10 +65,25 @@ def main() -> None:
         vote_radius=args.vote_radius, region_capacity=args.capacity,
     )
 
+    if args.feed:
+        import tempfile, os
+        from remap_tpu.io.frames import RawDirectoryFeed
+
+        d = tempfile.mkdtemp(prefix="remap_bench_")
+        for i, f in enumerate(frames):
+            with open(os.path.join(d, str(i)), "wb") as fh:
+                fh.write(f.tobytes())
+
+        def factory():
+            return RawDirectoryFeed(d, W, H)
+    else:
+        def factory():
+            return iter(frames)
+
     for run in ("cold", "warm"):
         t0 = time.perf_counter()
-        res = builder.build_from_frames(
-            frames, cfg, callbacks=builder.PerfCallbacks()
+        res = builder.build(
+            factory, cfg, callbacks=builder.PerfCallbacks()
         )
         dt = time.perf_counter() - t0
         print(

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterable, List, Optional, Tuple
 
 import jax
@@ -160,60 +161,85 @@ def match_pass(
         jnp.zeros((1, layout.height, layout.width), jnp.uint8),
     )
 
-    feed = frames if hasattr(frames, "read_packed_batch") else None
-    it = None if feed is not None else iter(frames)
-    batch: List[np.ndarray] = []
-    number = 0
-    done = False
-    while not done:
-        if feed is not None:
-            # native/packed fast path: the feed reads, crops and packs
-            # batches off the GIL (native/feed.cpp); nothing unpacks on
-            # the host
-            packed = feed.read_packed_batch(number, b)
-            n_real = len(packed)
-            if n_real == 0:
-                break
-            done = n_real < b
-            if n_real < b:
-                packed = np.concatenate(
-                    [packed, np.repeat(packed[-1:], b - n_real, axis=0)]
-                )
-            w_full = layout.width
-        else:
-            batch.clear()
-            while len(batch) < b:
-                try:
-                    batch.append(next(it))
-                except StopIteration:
-                    done = True
-                    break
-            if not batch:
-                break
-            n_real = len(batch)
-            stacked = np.stack(batch + [batch[-1]] * (b - n_real))
-            packed = pack_nibbles_batch(stacked)
-            w_full = stacked.shape[-1]
-        # ship packed (2 px/byte) over the slow link, unpack on device
-        images = _unpack_jit(jnp.asarray(packed), w_full)
-        median, off, ok, tovf, jovf, rovf, carry = step(images, carry)
-        off = np.asarray(off)[:n_real]
-        ok = np.asarray(ok)[:n_real]
+    def drain(p) -> None:
+        """Materialize one dispatched step's outputs (blocks on device)."""
+        nonlocal table_overflow, join_overflow, range_overflow
+        num, n_real, packed, median, off, ok, tovf, jovf, rovf = p
+        offsets.append(np.asarray(off)[:n_real])
+        matched.append(np.asarray(ok)[:n_real])
         table_overflow += int(np.asarray(tovf)[:n_real].sum())
         join_overflow += int(np.asarray(jovf)[:n_real].sum())
         range_overflow += int(np.asarray(rovf)[:n_real].sum())
-        offsets.append(off)
-        matched.append(ok)
         if store is not None:
             meds = (
                 np.asarray(median)[:n_real] if cfg.store_medians else None
             )
             store.put_packed_batch(
-                list(range(number, number + n_real)),
+                list(range(num, num + n_real)),
                 np.asarray(packed[:n_real]),
                 pack_nibbles_batch(meds) if meds is not None else None,
             )
-        number += n_real
+
+    feed = frames if hasattr(frames, "read_packed_batch") else None
+    it = None if feed is not None else iter(frames)
+    batch: List[np.ndarray] = []
+    number = 0
+    done = False
+    # Double buffering: the feed prefetches batch n+1 (native reader,
+    # off the GIL) while the device computes batch n, and device
+    # outputs drain one batch late so dispatch n+1 precedes the
+    # blocking fetch of n's results.
+    pool = ThreadPoolExecutor(max_workers=1) if feed is not None else None
+    fut = pool.submit(feed.read_packed_batch, 0, b) if pool else None
+    pending = None
+    try:
+        while not done:
+            if feed is not None:
+                # native/packed fast path: the feed reads, crops and
+                # packs batches off the GIL (native/feed.cpp); nothing
+                # unpacks on the host
+                packed = fut.result()
+                n_real = len(packed)
+                if n_real == 0:
+                    break
+                done = n_real < b
+                if not done:
+                    fut = pool.submit(
+                        feed.read_packed_batch, number + n_real, b
+                    )
+                if n_real < b:
+                    packed = np.concatenate(
+                        [packed, np.repeat(packed[-1:], b - n_real, axis=0)]
+                    )
+                w_full = layout.width
+            else:
+                batch.clear()
+                while len(batch) < b:
+                    try:
+                        batch.append(next(it))
+                    except StopIteration:
+                        done = True
+                        break
+                if not batch:
+                    break
+                n_real = len(batch)
+                stacked = np.stack(batch + [batch[-1]] * (b - n_real))
+                packed = pack_nibbles_batch(stacked)
+                w_full = stacked.shape[-1]
+            # ship packed (2 px/byte) over the slow link, unpack on device
+            images = _unpack_jit(jnp.asarray(packed), w_full)
+            median, off, ok, tovf, jovf, rovf, carry = step(images, carry)
+            if pending is not None:
+                drain(pending)
+            pending = (
+                number, n_real, packed, median, off, ok, tovf, jovf, rovf
+            )
+            number += n_real
+        if pending is not None:
+            drain(pending)
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False)
 
     if not offsets:
         return np.zeros((0, 2), np.int32), np.zeros((0,), bool), 0, 0, 0
