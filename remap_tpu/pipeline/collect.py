@@ -275,6 +275,15 @@ def _unpack_jit(packed, width):
     return unpack_nibbles_device(packed, width)
 
 
+@functools.partial(jax.jit, static_argnames=("b", "h", "w"))
+def _validity_mask(n_real, b, h, w):
+    """[b, h, w] uint8 mask: 1 for the first ``n_real`` frames."""
+    return jnp.broadcast_to(
+        (jnp.arange(b) < n_real)[:, None, None].astype(jnp.uint8),
+        (b, h, w),
+    )
+
+
 def blit_pass(
     segments: List[Tuple[List[int], List[Tuple[int, int]]]],
     store: FrameStore,
@@ -307,10 +316,11 @@ def blit_pass(
                     [packed, np.zeros((b - n_real,) + packed.shape[1:],
                                       np.uint8)]
                 )
-            # frames cross the host->device link packed (2 px/byte)
+            # frames cross the host->device link packed (2 px/byte);
+            # the validity mask is a device broadcast of one scalar (a
+            # host-built [B,H,W] mask cost ~16 MB of uplink per chunk)
             imgs = _unpack_jit(jnp.asarray(packed), fw)
-            vote_ok = np.ones((b, fh, fw), np.uint8)
-            vote_ok[n_real:] = 0
+            vote_ok = _validity_mask(n_real, b, fh, fw)
             apos = np.array(
                 [(px - zero[0], py - zero[1]) for px, py in chunk_pos]
                 + [(0, 0)] * (b - n_real),
@@ -319,7 +329,7 @@ def blit_pass(
             if use_pallas:
                 dots = pblit.blit_frames(
                     imgs,
-                    jnp.asarray(vote_ok),
+                    vote_ok,
                     jnp.asarray(apos),
                     atlas_h=ch,
                     atlas_w=cw,
@@ -333,7 +343,7 @@ def blit_pass(
                     jnp.asarray(apos),
                     atlas_h=ch,
                     atlas_w=cw,
-                    masks=jnp.asarray(1 - vote_ok),
+                    masks=1 - vote_ok,
                     dots=dots,
                 )
         if use_pallas:
