@@ -164,7 +164,8 @@ def match_pass(
     def drain(p) -> None:
         """Materialize one dispatched step's outputs (blocks on device)."""
         nonlocal table_overflow, join_overflow, range_overflow
-        num, n_real, packed, median, off, ok, tovf, jovf, rovf = p
+        num, n_real, packed, packed_dev, median, off, ok, tovf, jovf, \
+            rovf = p
         offsets.append(np.asarray(off)[:n_real])
         matched.append(np.asarray(ok)[:n_real])
         table_overflow += int(np.asarray(tovf)[:n_real].sum())
@@ -178,6 +179,7 @@ def match_pass(
                 list(range(num, num + n_real)),
                 np.asarray(packed[:n_real]),
                 pack_nibbles_batch(meds) if meds is not None else None,
+                device_packed=packed_dev[:n_real],
             )
 
     feed = frames if hasattr(frames, "read_packed_batch") else None
@@ -226,13 +228,17 @@ def match_pass(
                 stacked = np.stack(batch + [batch[-1]] * (b - n_real))
                 packed = pack_nibbles_batch(stacked)
                 w_full = stacked.shape[-1]
-            # ship packed (2 px/byte) over the slow link, unpack on device
-            images = _unpack_jit(jnp.asarray(packed), w_full)
+            # ship packed (2 px/byte) over the slow link, unpack on
+            # device; the device copy is donated to the store's HBM
+            # mirror so pass 2 / foreground never re-upload frames
+            packed_dev = jnp.asarray(packed)
+            images = _unpack_jit(packed_dev, w_full)
             median, off, ok, tovf, jovf, rovf, carry = step(images, carry)
             if pending is not None:
                 drain(pending)
             pending = (
-                number, n_real, packed, median, off, ok, tovf, jovf, rovf
+                number, n_real, packed, packed_dev, median, off, ok, tovf,
+                jovf, rovf,
             )
             number += n_real
         if pending is not None:
@@ -310,16 +316,18 @@ def blit_pass(
             chunk_nos = numbers[i : i + b]
             chunk_pos = positions[i : i + b]
             n_real = len(chunk_nos)
-            packed = store.packed_images_batch(chunk_nos)
+            # frames come from the store's HBM mirror when collect ran
+            # on this device (uploaded packed otherwise); the validity
+            # mask is a device broadcast of one scalar (a host-built
+            # [B,H,W] mask cost ~16 MB of uplink per chunk)
+            packed = store.device_packed_batch(chunk_nos)
             if n_real < b:
-                packed = np.concatenate(
-                    [packed, np.zeros((b - n_real,) + packed.shape[1:],
-                                      np.uint8)]
+                packed = jnp.concatenate(
+                    [packed,
+                     jnp.zeros((b - n_real,) + packed.shape[1:],
+                               jnp.uint8)]
                 )
-            # frames cross the host->device link packed (2 px/byte);
-            # the validity mask is a device broadcast of one scalar (a
-            # host-built [B,H,W] mask cost ~16 MB of uplink per chunk)
-            imgs = _unpack_jit(jnp.asarray(packed), fw)
+            imgs = _unpack_jit(packed, fw)
             vote_ok = _validity_mask(n_real, b, fh, fw)
             apos = np.array(
                 [(px - zero[0], py - zero[1]) for px, py in chunk_pos]

@@ -49,13 +49,15 @@ def filter_fragments(
             chunk = nums[i : i + b]
             cpos = poss[i : i + b]
             n_real = len(chunk)
-            packed = store.packed_images_batch(chunk)
+            # HBM mirror when collect ran here; packed upload otherwise
+            packed = store.device_packed_batch(chunk)
             recompute = not store.has_medians
             meds = None if recompute else store.medians_batch(chunk)
             if n_real < b:
                 pad = b - n_real
-                packed = np.concatenate(
-                    [packed, np.zeros((pad,) + packed.shape[1:], np.uint8)]
+                packed = jnp.concatenate(
+                    [packed,
+                     jnp.zeros((pad,) + packed.shape[1:], jnp.uint8)]
                 )
                 if meds is not None:
                     meds = np.concatenate(

@@ -47,15 +47,40 @@ def unpack_nibbles(packed: np.ndarray, width: int) -> np.ndarray:
 
 
 class FrameStore:
-    """Packed-nibble storage of frame + median images by frame number."""
+    """Packed-nibble storage of frame + median images by frame number.
+
+    The host copy is authoritative.  When the collect pass hands over
+    the device buffers it already uploaded (``device_packed``), the
+    store additionally keeps a device-resident mirror so later passes
+    (blit, foreground) gather frames from HBM instead of re-crossing
+    the host->device link.  The mirror is capped
+    (:data:`DEVICE_MIRROR_CAP`) and silently drops for huge sessions —
+    every consumer falls back to uploading the host copy."""
+
+    #: upper bound on the device mirror (bytes of packed frames);
+    #: ~17k NES frames.  Beyond it, later passes re-upload per chunk.
+    DEVICE_MIRROR_CAP = 512 << 20
 
     def __init__(self, height: int, width: int):
         self.height = height
         self.width = width
         self._images: Dict[int, np.ndarray] = {}
         self._medians: Dict[int, np.ndarray] = {}
+        self._dev_parts: list = []    # device arrays, contiguous numbers
+        self._dev_count = 0           # frames covered: numbers [0, n)
+        self._dev_bytes = 0
+        self._dev_stack = None        # concatenated mirror (lazy)
+
+    def _invalidate_mirror(self, numbers) -> None:
+        """Drop the device mirror if a mirrored row is being replaced
+        (host copy is authoritative; stale HBM rows must never win)."""
+        if self._dev_parts and any(n < self._dev_count for n in numbers):
+            self._dev_parts = None
+            self._dev_stack = None
+            self._dev_count = 0
 
     def put(self, number: int, image: np.ndarray, median: np.ndarray) -> None:
+        self._invalidate_mirror([number])
         self._images[number] = pack_nibbles(image)
         self._medians[number] = pack_nibbles(median)
 
@@ -65,6 +90,7 @@ class FrameStore:
         images: np.ndarray,
         medians: Optional[np.ndarray] = None,
     ) -> None:
+        self._invalidate_mirror(numbers)
         packed_i = pack_nibbles_batch(images)
         packed_m = pack_nibbles_batch(medians) if medians is not None else None
         for k, no in enumerate(numbers):
@@ -77,12 +103,55 @@ class FrameStore:
         numbers: List[int],
         packed_images: np.ndarray,   # [B, H, ceil(W/2)] uint8
         packed_medians: Optional[np.ndarray] = None,
+        device_packed: Optional[object] = None,  # same rows, on device
     ) -> None:
-        """Store already-packed rows (the native feed's output format)."""
+        """Store already-packed rows (the native feed's output format).
+
+        ``device_packed`` donates the uploaded device copy of the same
+        rows to the mirror (kept only while batches arrive contiguously
+        from frame 0 and the cap is not exceeded)."""
+        if device_packed is None:
+            self._invalidate_mirror(numbers)
         for k, no in enumerate(numbers):
             self._images[no] = packed_images[k]
             if packed_medians is not None:
                 self._medians[no] = packed_medians[k]
+        if device_packed is not None and self._dev_parts is not None:
+            contiguous = list(numbers) == list(
+                range(self._dev_count, self._dev_count + len(numbers))
+            )
+            nbytes = int(np.prod(device_packed.shape))
+            if (
+                contiguous
+                and self._dev_bytes + nbytes <= self.DEVICE_MIRROR_CAP
+            ):
+                self._dev_parts.append(device_packed)
+                self._dev_count += len(numbers)
+                self._dev_bytes += nbytes
+                self._dev_stack = None
+            else:
+                self._dev_parts = None   # disabled for this store
+                self._dev_stack = None
+                self._dev_count = 0
+
+    def device_packed_batch(self, numbers: List[int]):
+        """Device [B, H, ceil(W/2)] uint8 for ``numbers`` — gathered
+        from the HBM mirror when available, uploaded otherwise."""
+        import jax.numpy as jnp
+
+        if (
+            self._dev_parts
+            and all(0 <= n < self._dev_count for n in numbers)
+        ):
+            if self._dev_stack is None:
+                self._dev_stack = (
+                    self._dev_parts[0]
+                    if len(self._dev_parts) == 1
+                    else jnp.concatenate(self._dev_parts, axis=0)
+                )
+                self._dev_parts = [self._dev_stack]
+            return self._dev_stack[jnp.asarray(np.asarray(numbers, np.int32))]
+        return jnp.asarray(self.packed_images_batch(numbers))
 
     def image(self, number: int) -> np.ndarray:
         return unpack_nibbles(self._images[number], self.width)

@@ -181,3 +181,36 @@ def test_collect_from_feed_matches_iterator(tmp_path):
     assert len(got.fragments) == len(ref.fragments)
     for a, b in zip(got.fragments, ref.fragments):
         np.testing.assert_array_equal(a.dots, b.dots)
+
+
+def test_device_mirror_gather_matches_host():
+    """FrameStore's HBM mirror must return exactly the host rows, fall
+    back when numbers are outside the mirrored range, and disable
+    itself on non-contiguous donation."""
+    import jax.numpy as jnp
+
+    from remap_tpu.pipeline.state import FrameStore, pack_nibbles_batch
+
+    rng = np.random.default_rng(5)
+    imgs = rng.integers(0, 16, size=(7, 10, 12), dtype=np.uint8)
+    packed = pack_nibbles_batch(imgs)
+
+    store = FrameStore(10, 12)
+    store.put_packed_batch([0, 1, 2], packed[:3],
+                           device_packed=jnp.asarray(packed[:3]))
+    store.put_packed_batch([3, 4], packed[3:5],
+                           device_packed=jnp.asarray(packed[3:5]))
+    store.put_packed_batch([5, 6], packed[5:7])   # host-only tail
+    got = np.asarray(store.device_packed_batch([4, 0, 2]))
+    np.testing.assert_array_equal(got, packed[[4, 0, 2]])
+    # numbers beyond the mirrored range -> host upload fallback
+    got = np.asarray(store.device_packed_batch([5, 1]))
+    np.testing.assert_array_equal(got, packed[[5, 1]])
+
+    # non-contiguous donation disables the mirror for the store
+    store2 = FrameStore(10, 12)
+    store2.put_packed_batch([2, 3], packed[2:4],
+                            device_packed=jnp.asarray(packed[2:4]))
+    assert store2._dev_parts is None
+    got = np.asarray(store2.device_packed_batch([3]))
+    np.testing.assert_array_equal(got, packed[[3]])
