@@ -114,8 +114,10 @@ def main(argv=None) -> int:
         return 1
 
     callbacks = builder.PerfCallbacks() if args.perf else None
+    # pass the feed itself (restartable + iterable): builder then takes the
+    # with_crop/read_packed_batch native fast path instead of a generator
     result = builder.build(
-        lambda: iter(feed),
+        lambda: feed,
         cfg,
         callbacks=callbacks,
         checkpoint_dir=args.checkpoint_dir,

@@ -43,9 +43,18 @@ def _native_feed() -> Optional[ctypes.CDLL]:
     ):
         import subprocess
 
-        subprocess.run(
+        proc = subprocess.run(
             ["make", "-C", native_dir], capture_output=True, check=False
         )
+        if proc.returncode != 0:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "native feed build failed (rc=%d); frame reads fall back "
+                "to the NumPy path\n%s",
+                proc.returncode,
+                proc.stderr.decode(errors="replace")[-2000:],
+            )
     if os.path.exists(path):
         lib = ctypes.CDLL(path)
         lib.feed_read_packed_batch.restype = ctypes.c_int
@@ -62,6 +71,12 @@ def _native_feed() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8),
         ]
         _FEED_LIB = lib
+    else:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "native feed library not found at %s; using NumPy reader", path
+        )
     return _FEED_LIB
 
 

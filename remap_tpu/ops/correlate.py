@@ -143,6 +143,35 @@ def _fft_dim(n: int) -> int:
     return ((n + 127) // 128) * 128
 
 
+def _direct_rescore(a_img, a_mask, b_img, b_mask, cands):
+    """Exact (agreement, overlap) int32 counts for candidate shifts.
+
+    Both canvases land on a common [HA+HB, WA+WB] grid; candidate d
+    compares ``a`` at c + d against ``b`` at c.  jnp.roll wrap-around is
+    harmless: for any valid shift the wrapped rows/cols fall outside b's
+    mask footprint (grid height >= ha + hb).  This is the exactness
+    backstop for the f32 FFT surfaces, whose roundoff on large canvases
+    can exceed 0.5 and shift an argmax or flip the ratio test.
+    """
+    ha, wa = a_img.shape
+    hb, wb = b_img.shape
+    gh, gw = ha + hb, wa + wb
+    pa = jnp.zeros((gh, gw), jnp.uint8).at[:ha, :wa].set(a_img * a_mask)
+    pam = jnp.zeros((gh, gw), bool).at[:ha, :wa].set(a_mask != 0)
+    pb = jnp.zeros((gh, gw), jnp.uint8).at[:hb, :wb].set(b_img * b_mask)
+    pbm = jnp.zeros((gh, gw), bool).at[:hb, :wb].set(b_mask != 0)
+
+    def score_at(d):
+        sa = jnp.roll(pa, (-d[1], -d[0]), axis=(0, 1))
+        sam = jnp.roll(pam, (-d[1], -d[0]), axis=(0, 1))
+        both = sam & pbm
+        agr = jnp.sum((sa == pb) & both, dtype=jnp.int32)
+        ovl = jnp.sum(both, dtype=jnp.int32)
+        return agr, ovl
+
+    return jax.lax.map(score_at, cands)
+
+
 @functools.partial(jax.jit, static_argnames=("min_overlap", "ratio"))
 def match_canvases(
     a_img: jax.Array,   # [HA, WA] uint8 palette codes (head fragment)
@@ -169,19 +198,27 @@ def match_canvases(
     agr = jnp.round(agreement)
     ovl = jnp.round(overlap)
     score = jnp.where(ovl >= min_overlap, agr, -1.0)
-    flat = jnp.argmax(score.reshape(-1))
-    iy, ix = flat // nx, flat % nx
+    # FFT surfaces select candidates only; the winner and its near-ties
+    # are rescored by exact direct comparison (f32 roundoff on large
+    # canvases can exceed 0.5 — enough to shift the argmax or flip the
+    # ratio/min_overlap acceptance)
+    k = 8
+    _, flat_idx = jax.lax.top_k(score.reshape(-1), k)
+    iy, ix = flat_idx // nx, flat_idx % nx
     # index -> signed shift: d in [-(len_b - 1), len_a - 1]
     dx = ((ix + wb - 1) % nx) - (wb - 1)
     dy = ((iy + hb - 1) % ny) - (hb - 1)
-    peak_agr = agr[iy, ix].astype(jnp.int32)
-    peak_ovl = ovl[iy, ix].astype(jnp.int32)
+    cands = jnp.stack([dx, dy], axis=-1).astype(jnp.int32)
+    agrs, ovls = _direct_rescore(a_img, a_mask, b_img, b_mask, cands)
+    exact = jnp.where(ovls >= min_overlap, agrs, -1)
+    best = jnp.argmax(exact)
+    peak_agr, peak_ovl = agrs[best], ovls[best]
     ok = (peak_ovl >= min_overlap) & (
         peak_agr.astype(jnp.float32)
         >= jnp.float32(ratio) * peak_ovl.astype(jnp.float32)
     )
     return CanvasMatch(
-        offset=jnp.stack([dx, dy]).astype(jnp.int32),
+        offset=cands[best],
         count=peak_agr,
         overlap=peak_ovl,
         ok=ok,
@@ -217,24 +254,7 @@ def match_canvases_pyramid(
     )
     base = coarse.offset * factor
 
-    # common grid: b placed at +pad so negative candidate shifts stay in
-    # bounds; a compared at c + d
     r = factor + 2
-    gh, gw = max(ha, hb) + 2 * r, max(wa, wb) + 2 * r
-    pa = jnp.zeros((gh, gw), jnp.uint8).at[:ha, :wa].set(a_img * a_mask)
-    pam = jnp.zeros((gh, gw), bool).at[:ha, :wa].set(a_mask != 0)
-    pb = jnp.zeros((gh, gw), jnp.uint8).at[:hb, :wb].set(b_img * b_mask)
-    pbm = jnp.zeros((gh, gw), bool).at[:hb, :wb].set(b_mask != 0)
-
-    def score_at(d):
-        # roll a by -d: a(c + d) lands at c
-        sa = jnp.roll(pa, (-d[1], -d[0]), axis=(0, 1))
-        sam = jnp.roll(pam, (-d[1], -d[0]), axis=(0, 1))
-        both = sam & pbm
-        agr = jnp.sum((sa == pb) & both, dtype=jnp.int32)
-        ovl = jnp.sum(both, dtype=jnp.int32)
-        return agr, ovl
-
     cand = jnp.stack(
         [
             base + jnp.array([ddx, ddy], jnp.int32)
@@ -242,7 +262,7 @@ def match_canvases_pyramid(
             for ddx in range(-r, r + 1)
         ]
     )
-    agrs, ovls = jax.lax.map(score_at, cand)
+    agrs, ovls = _direct_rescore(a_img, a_mask, b_img, b_mask, cand)
     score = jnp.where(ovls >= min_overlap, agrs, -1)
     best = jnp.argmax(score)
     peak_agr, peak_ovl = agrs[best], ovls[best]

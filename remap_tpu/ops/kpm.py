@@ -39,7 +39,7 @@ class MatchResult(NamedTuple):
     #: [P] bool — out-of-radius votes *could* have changed a region
     #: ticket (vote_radius > 0 only); retry with vote_radius=0 — the
     #: join limits themselves did not overflow.
-    range_overflow: jax.Array = None
+    range_overflow: jax.Array
 
 
 def _run_counts(sorted_keys: jax.Array, sentinel: int):

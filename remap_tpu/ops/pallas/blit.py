@@ -176,7 +176,7 @@ def blit_frames(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((gdepth, ah, aw), jnp.int32),
             pltpu.SemaphoreType.DMA,

@@ -168,6 +168,26 @@ def make_pipeline_step(
     return step
 
 
+class StreamFlags(NamedTuple):
+    """Per-frame, per-cause exactness flags from the streaming step.
+
+    Each cause names its cheapest recovery (the same ladder
+    pipeline.collect walks): ``table`` — a region table hit its keep
+    quota (re-run that frame with the other table mode / higher
+    capacity); ``join`` — the sort-merge join's multiplicity limit
+    truncated vote counts (raise ``join_multiplicity``); ``range`` — the
+    vote-radius exactness bound tripped (re-run with ``vote_radius=0``).
+    ``np.asarray(flags).any()`` is the conservative any-cause bit."""
+
+    table: jax.Array  # [T] bool
+    join: jax.Array   # [T] bool
+    range: jax.Array  # [T] bool
+
+    @property
+    def combined(self) -> jax.Array:
+        return self.table | self.join | self.range
+
+
 class StreamState(NamedTuple):
     """Device-resident state carried across streaming batches."""
 
@@ -271,11 +291,15 @@ def make_streaming_step(layout: GridLayout, cfg: PipelineConfig,
         # the very first frame of the stream never matches
         matched = res.ok & (state.started | (jnp.arange(t) > 0))
         offsets = jnp.where(matched[:, None], res.offset, 0)
-        # conservative: the streaming step's single reported flag covers
-        # join/table limits AND the vote-radius exactness bound (hosts
-        # seal-and-retry on any of them; bench asserts none fire)
-        overflow = (
-            res.overflow | res.range_overflow | tabs.overflow.any(axis=-1)
+        # per-cause exactness flags, mirroring pipeline.collect's
+        # escalation ladder: each cause has a distinct cheapest recovery
+        # (table -> sort2/topk re-run, join -> higher multiplicity,
+        # range -> vote_radius=0).  `np.asarray(flags).any()` still gives
+        # the conservative any-cause bit older callers checked.
+        overflow = StreamFlags(
+            table=tabs.overflow.any(axis=-1),
+            join=res.overflow,
+            range=res.range_overflow,
         )
 
         # positions: segmented cumsum with resets at breaks

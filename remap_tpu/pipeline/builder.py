@@ -16,6 +16,7 @@ from typing import Callable, Iterable, List, Optional, Sequence
 import numpy as np
 
 from remap_tpu.config import PipelineConfig
+from remap_tpu.core.geometry import Rect
 from remap_tpu.pipeline import clean as clean_stage
 from remap_tpu.pipeline import collect as collect_stage
 from remap_tpu.pipeline import foreground as fg_stage
@@ -104,8 +105,20 @@ def build(
     probe = frames_factory()
     if hasattr(probe, "with_crop"):
         # feeds (io.frames) re-crop natively: collect then reads packed
-        # batches straight off disk (native/feed.cpp fast path)
-        source = probe.with_crop(crop)
+        # batches straight off disk (native/feed.cpp fast path).  The
+        # window scan saw the feed's *already-cropped* frames, so compose
+        # with any pre-existing crop rather than replacing it.
+        base = getattr(probe, "crop", None)
+        if base is not None:
+            crop_abs = Rect(
+                left=base.left + crop.left,
+                top=base.top + crop.top,
+                right=base.left + crop.right,
+                bottom=base.top + crop.bottom,
+            )
+        else:
+            crop_abs = crop
+        source = probe.with_crop(crop_abs)
     else:
         def cropped(src=probe):
             for f in src:

@@ -74,9 +74,14 @@ class StreamingStitcher:
         if self.frame_no == 0:
             ok[0] = False
         off[~ok] = 0
-        ovf = np.asarray(tovf)[:n_real] | np.asarray(jovf)[:n_real]
+        rovf = np.asarray(rovf)[:n_real]
+        # range overflow counts as overflow for the public counter: callers
+        # checking only overflow_frames must never silently accept inexact
+        # offsets (the separate counter remains as the cheap-recovery hint —
+        # re-running with vote_radius=0 alone recovers those frames)
+        ovf = np.asarray(tovf)[:n_real] | np.asarray(jovf)[:n_real] | rovf
         self.overflow_frames += int(ovf.sum())
-        self.range_overflow_frames += int(np.asarray(rovf)[:n_real].sum())
+        self.range_overflow_frames += int(rovf.sum())
         self.store.put_batch(
             list(range(self.frame_no, self.frame_no + n_real)),
             np.asarray(batch[:n_real]),

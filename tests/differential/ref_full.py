@@ -1,0 +1,235 @@
+"""Build the *entire* C++ reference (`remap`) as a Linux binary.
+
+This is the literal BASELINE oracle: the reference's own `main.cpp`
+pipeline (main.cpp:246-266) producing `out<i>.png`, compiled from the
+read-only checkout and run on synthetic raw clips so the CLI's maps can
+be diffed pixel-exactly (tests/differential/test_ref_e2e.py).  Unlike
+``builder.py`` (scalar-path unit differentials), this compiles every
+AVX2 stage — kpe, aws, fde, arf — and the full mpb orchestration.
+
+The reference targets MSVC/Windows; the staged copy gets a short list of
+*mechanical, behavior-preserving* porting patches (each annotated below
+with the MSVC-ism it papers over).  Nothing from the reference enters
+the repository: staging happens in a temp dir and only the compiled
+binary is used.
+
+Skip policy: tests using this builder skip when the checkout, g++, an
+AVX2 host, or libpng are unavailable — the harness cross-checks the
+framework, it does not ship with it.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import re
+import shutil
+import subprocess
+import tempfile
+
+REF_SRC = pathlib.Path("/root/reference/src")
+
+# <format> is libstdc++-13+; g++-12 needs a polyfill for the two call
+# sites (perf_counter line + "out{}.png", main.cpp:71,258).  Supports
+# "{}" and "{:N}" width specs only — exactly what main.cpp uses.
+_FORMAT_SHIM = r"""
+#pragma once
+#include <sstream>
+#include <string>
+#include <iomanip>
+namespace std {
+namespace __fmt_shim {
+inline void format_one(ostringstream&, string_view&) {}
+template <typename T, typename... Rest>
+void format_one(ostringstream& os, string_view& f, T&& v, Rest&&... rest) {
+  size_t open = f.find('{');
+  os << f.substr(0, open);
+  if (open == string_view::npos) { f = {}; return; }
+  size_t close = f.find('}', open);
+  string_view spec = f.substr(open + 1, close - open - 1);
+  if (!spec.empty() && spec[0] == ':') {
+    int width = 0;
+    for (size_t i = 1; i < spec.size(); ++i)
+      if (spec[i] >= '0' && spec[i] <= '9')
+        width = width * 10 + (spec[i] - '0');
+    os << setw(width);
+  }
+  os << v;
+  f = f.substr(close + 1);
+  format_one(os, f, static_cast<Rest&&>(rest)...);
+}
+}  // namespace __fmt_shim
+template <typename... Args>
+string format(string_view f, Args&&... args) {
+  ostringstream os;
+  __fmt_shim::format_one(os, f, static_cast<Args&&>(args)...);
+  os << f;
+  return os.str();
+}
+}  // namespace std
+"""
+
+# --- the mechanical porting patches ------------------------------------
+
+# MSVC accepts attributes between decl-specifiers; ISO places them first.
+_ATTR = (re.compile(r"inline \[\[nodiscard\]\]"), "[[nodiscard]] inline")
+
+# MSVC's nonconforming base-class name lookup merges operator() overload
+# sets across bases; ISO needs explicit using-declarations.
+_CALLBACKS_OLD = """struct callbacks : aws_callback,
+                   frc_callback,
+                   fdf_callback,
+                   arf_callback,
+                   mpb_callbacks {};"""
+_CALLBACKS_NEW = """struct callbacks : aws_callback,
+                   frc_callback,
+                   fdf_callback,
+                   arf_callback,
+                   mpb_callbacks {
+  using aws_callback::operator();
+  using frc_callback::operator();
+  using fdf_callback::operator();
+  using arf_callback::operator();
+  using mpb_callbacks::operator();
+};"""
+
+# Copy-list-initialization cannot use memory_pool's explicit size ctor
+# (all.hpp:157); name the type.
+_POOL_OLD = "*current_ = {previous_->total_used() << 1};"
+_POOL_NEW = "*current_ = memory_pool{previous_->total_used() << 1};"
+
+# MSVC deduces std::array<T, N>'s size_t N against a std::uint8_t
+# template parameter (arf.hpp's shift/hash_impl/buffer family); GCC
+# (conformantly) does not.  Widening Size to size_t everywhere in
+# arf.hpp is value-preserving (Size is 15).
+_ARF_SIZE = [
+    ("std::uint8_t Size", "std::size_t Size"),
+    ("std::integral_constant<std::uint8_t,", "std::integral_constant<std::size_t,"),
+]
+
+# MSVC converts {} to __m128i; GCC needs the zeroing intrinsic.
+_ZERO128 = (
+    "_mm256_castsi128_si256({})",
+    "_mm256_castsi128_si256(_mm_setzero_si128())",
+)
+
+# extractor's get_unit helpers index the vec_unit wrapper directly
+# (kpe.hpp:384-393); MSVC finds the private array, ISO needs a real
+# operator[].  (The helpers are dead code — never instantiated — but
+# GCC still parses their non-dependent bodies.)
+_VEC_UNIT_OLD = """  private:
+    __m128i unit_[16];
+  };"""
+_VEC_UNIT_NEW = """    [[nodiscard]] inline __m128i const&
+        operator[](std::uint8_t i) const noexcept {
+      return unit_[i];
+    }
+
+  private:
+    __m128i unit_[16];
+  };"""
+
+# _mm256_loadu_epi8 is AVX-512VL+BW in GCC's headers (MSVC exposes it
+# under AVX2); the AVX2 equivalent is an unaligned 256-bit load.
+_LOADU_EPI8 = re.compile(r"_mm256_loadu_epi8\(([^)]*)\)")
+
+# MSVC compiles *reinterpret_cast<__m256i*> dereferences to unaligned
+# moves; GCC emits aligned vmovdqa, which faults on the reference's
+# arena/vector pointers (not 32-byte aligned).  Rewrite the aws/fde/arf
+# deref sites to the explicit unaligned intrinsics — same semantics,
+# alignment-safe.
+_SIMD_STORE = re.compile(
+    r"\*reinterpret_cast<(mm_t|mm_type|__m256i)\*>\(([^()]+)\) =\s*(.*?);",
+    re.S,
+)
+_SIMD_STORE_PS = re.compile(
+    r"\*reinterpret_cast<__m256\*>\(([^()]+)\) =\s*(.*?);", re.S
+)
+_SIMD_LOAD = re.compile(
+    r"\*reinterpret_cast<(?:mm_t|mm_type|__m256i) const\*>"
+    r"\(([^()]*(?:\([^()]*\))?[^()]*)\)"
+)
+
+
+def _patch(name: str, text: str) -> str:
+    text = _ATTR[0].sub(_ATTR[1], text)
+    text = text.replace(*_ZERO128)
+    text = _LOADU_EPI8.sub(
+        r"_mm256_loadu_si256(reinterpret_cast<__m256i const*>(\1))", text
+    )
+    if name in ("aws.hpp", "fde.hpp", "arf.hpp"):
+        text = _SIMD_STORE.sub(
+            lambda m: "_mm256_storeu_si256(reinterpret_cast<"
+            f"{m.group(1)}*>({m.group(2)}), {m.group(3)});",
+            text,
+        )
+        text = _SIMD_STORE_PS.sub(
+            lambda m: "_mm256_storeu_ps(reinterpret_cast<float*>"
+            f"({m.group(1)}), {m.group(2)});",
+            text,
+        )
+        text = _SIMD_LOAD.sub(
+            r"_mm256_loadu_si256(reinterpret_cast<__m256i const*>(\1))",
+            text,
+        )
+    if name == "arf.hpp":
+        for old, new in _ARF_SIZE:
+            text = text.replace(old, new)
+    if name == "kpe.hpp":
+        text = text.replace(_VEC_UNIT_OLD, _VEC_UNIT_NEW)
+    if name == "all.hpp":
+        text = text.replace(_POOL_OLD, _POOL_NEW)
+    if name == "main.cpp":
+        text = text.replace(_CALLBACKS_OLD, _CALLBACKS_NEW)
+    return text
+
+
+def available() -> bool:
+    if not REF_SRC.is_dir() or shutil.which("g++") is None:
+        return False
+    try:
+        cpuinfo = pathlib.Path("/proc/cpuinfo").read_text()
+    except OSError:
+        return False
+    if "avx2" not in cpuinfo:
+        return False
+    return pathlib.Path("/usr/include/png.h").exists()
+
+
+def build_reference(out_dir: pathlib.Path | None = None) -> pathlib.Path:
+    """Compile the full reference; returns the `remap` binary path."""
+    stage = pathlib.Path(tempfile.mkdtemp(prefix="remap_ref_full_"))
+    for src in list(REF_SRC.glob("*.hpp")) + [REF_SRC / "main.cpp"]:
+        (stage / src.name).write_text(_patch(src.name, src.read_text()))
+    (stage / "intrin.h").write_text("#include <immintrin.h>\n")
+    (stage / "format").write_text(_FORMAT_SHIM)
+
+    out = (out_dir or stage) / "remap_ref"
+    cmd = [
+        "g++", "-std=c++20", "-O2", "-mavx2", "-fpermissive",
+        # headers MSVC's STL drags in transitively
+        "-include", "functional", "-include", "cstring",
+        "-include", "limits", "-include", "cmath", "-include", "list",
+        "-I", str(stage),
+        str(stage / "main.cpp"), "-o", str(out),
+        "-lpng", "-ltbb",
+    ]
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    return out
+
+
+def run_reference(binary: pathlib.Path, frames_dir: pathlib.Path,
+                  out_dir: pathlib.Path) -> list[pathlib.Path]:
+    """Run `remap <frames_dir>` with cwd=out_dir; returns out<i>.png paths."""
+    subprocess.run(
+        [str(binary), str(frames_dir)],
+        cwd=out_dir, check=True, capture_output=True, timeout=600,
+    )
+    return sorted(out_dir.glob("out*.png"))
+
+
+def main() -> None:
+    print(build_reference())
+
+
+if __name__ == "__main__":
+    main()
