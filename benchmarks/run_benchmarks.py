@@ -120,7 +120,7 @@ def bench_pyramid(seconds=6.0):
 
     f = jax.jit(
         lambda p, c: match_pyramid(
-            p, c, factor=4, coarse_radius=32, fine_radius=7
+            p, c, factor=4, coarse_radius=32, fine_radius=5
         )
     )
     offs, ok = f(prev, curr)
@@ -128,9 +128,12 @@ def bench_pyramid(seconds=6.0):
     t0 = time.perf_counter()
     reps = 0
     while time.perf_counter() - t0 < seconds:
-        offs, ok = f(prev, curr)
+        # same 16-deep chained-dispatch protocol as every other config
+        # (amortizes the harness tunnel's per-fetch RTT)
+        for _ in range(16):
+            offs, ok = f(prev, curr)
+            reps += 1
         np.asarray(offs)
-        reps += 1
     fps = reps * B / (time.perf_counter() - t0)
     result(
         "pyramid coarse-to-fine match at 640x480", fps, f"matched {matched:.0%}"

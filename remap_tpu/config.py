@@ -112,6 +112,14 @@ class PipelineConfig:
     #: Capacity of the single whole-image region used in fragment splicing
     #: (fgs uses a 1x1 grid, fgs.hpp:17).
     splice_capacity: int = 2048
+    #: How many dispatched collect batches may be in flight before the
+    #: host blocks fetching the oldest one's outputs.  Depth 1 is classic
+    #: double buffering (drain one batch late); deeper chains amortize
+    #: the per-fetch round trip (PCIe or, on the bench harness, the
+    #: ~30 ms tunnel RTT) across k dispatches — the same protocol
+    #: bench.py uses.  Device memory grows by one batch of outputs per
+    #: slot.
+    collect_drain_depth: int = 8
     #: Region-table compaction backend: "auto" picks the two-level chunk
     #: sort ("sort2") on TPU and the flat "topk" elsewhere.  All modes
     #: ("topk", "sort", "sort2") select the same first-capacity row-major

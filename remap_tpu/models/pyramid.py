@@ -28,9 +28,20 @@ def match_pyramid(
     curr: jax.Array,
     factor: int = 4,
     coarse_radius: int = 32,
-    fine_radius: int = 7,
+    fine_radius: int | None = None,
 ):
-    """Coarse-to-fine offset estimation; returns (offset [B,2], ok [B])."""
+    """Coarse-to-fine offset estimation; returns (offset [B,2], ok [B]).
+
+    ``fine_radius`` defaults to ``factor + 1``: the coarse argmax lands
+    within ``factor/2`` of the true offset's decimated value on content
+    with any spatial coherence (plus one for rounding), so the fine
+    window need only cover that envelope — (2(f+1)+1)^2 direct rescores
+    instead of a second wide scan.  Raise it for pathological content;
+    measured on the VGA bench clip, radius 5 and 7 produce identical
+    offsets and acceptance on every frame.
+    """
+    if fine_radius is None:
+        fine_radius = factor + 1
     b, h, w = prev.shape
 
     coarse = correlate.match_xcorr(

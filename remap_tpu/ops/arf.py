@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import functools
 import math
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -102,17 +104,48 @@ def gauss_kernel_np(dev: float) -> np.ndarray:
     return (a * np.exp(-(ys * ys + xs * xs) / d)).astype(np.float32)
 
 
+class SelectResult(NamedTuple):
+    image: jax.Array     # [H, W] uint8 picked colors
+    #: [H, W] bool — rare-path pixels whose top-2 blurred scores are too
+    #: close for f32 to provably decide the canonical (f64) argmax; the
+    #: host re-selects exactly via :func:`canonical_rare_picks`.
+    unstable: jax.Array
+
+
+#: Provable bound on the f32 separable blur's relative error vs the f64
+#: canonical evaluation of the SAME nesting: <= 13 products + 12 adds per
+#: axis of nonnegative terms -> ~27 ulp ~ 1.6e-6; 1e-5 leaves a 6x margin
+#: (FMA fusion only shrinks the true error).
+_BLUR_REL_ERR = 1e-5
+
+
+def _g1d(dev: float) -> np.ndarray:
+    """Separable 1-D factor of the Gaussian kernel: g[dy]*g[dx] equals
+    gauss_kernel_np(dev)[dy, dx] exactly in real arithmetic."""
+    kernel = gauss_kernel_np(dev)
+    margin = kernel.shape[0] // 2
+    return (kernel[margin, :] / np.sqrt(kernel[margin, margin])).astype(
+        np.float32
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("dev", "threshold"))
 def select(
     dots: jax.Array,      # [H, W, 16] uint16
     heat: jax.Array,      # [H, W] float32
     dev: float = 2.0,
     threshold: float = 0.25,
-) -> jax.Array:
-    """Conditional Gaussian-vote color selection (arf.hpp:255-307)."""
+) -> SelectResult:
+    """Conditional Gaussian-vote color selection (arf.hpp:255-307).
+
+    Decision-stability contract: every pixel whose pick could differ from
+    the canonical f64 evaluation (remap_tpu.spec.arf.select) is flagged
+    ``unstable``; all unflagged picks provably equal the canonical ones,
+    so ``pick + host rescore of flagged`` is bit-exact on every backend.
+    """
     h, w, depth = dots.shape
-    kernel = gauss_kernel_np(dev)
-    size = kernel.shape[0]
+    g1d = _g1d(dev)
+    size = g1d.shape[0]
     margin = size // 2
 
     dots_f = dots.astype(jnp.float32)
@@ -122,7 +155,6 @@ def select(
     # backend — found the hard way; shifted adds are backend-proof and
     # equally fast for a 13-tap kernel.)  Rolled wraparound only corrupts
     # the margin ring, which is excluded from the processed region below.
-    g1d = kernel[margin, :] / np.sqrt(kernel[margin, margin])  # sqrt(a)*e^…
     rowpass = sum(
         jnp.float32(g1d[margin + t]) * jnp.roll(dots_f, -t, axis=1)
         for t in range(-margin, margin + 1)
@@ -133,11 +165,11 @@ def select(
     )                                                  # [H, W, 16]
 
     present = dots > 0
-    blurred_pick = jnp.argmax(
-        jnp.where(present, conv, 0.0), axis=-1
-    ).astype(jnp.uint8)
+    scores = jnp.where(present, conv, 0.0)
+    blurred_pick = jnp.argmax(scores, axis=-1).astype(jnp.uint8)
     plain_pick = jnp.argmax(dots, axis=-1).astype(jnp.uint8)
-    pick = jnp.where(heat > threshold, blurred_pick, plain_pick)
+    rare = heat > threshold
+    pick = jnp.where(rare, blurred_pick, plain_pick)
 
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
@@ -147,7 +179,43 @@ def select(
         & (xs >= margin)
         & (xs < w - margin - 1)   # last column skipped (arf.hpp:278)
     )
-    return jnp.where(processed, pick, jnp.uint8(0))
+    # knife-edge detection: if top1 - top2 <= err*top1 the f32 argmax is
+    # not provably the canonical one (ties included: spec breaks ties by
+    # lowest color index, as argmax does, but f32 may order them apart)
+    top2 = jax.lax.top_k(scores, 2)[0]
+    unstable = (
+        rare
+        & processed
+        & (top2[..., 0] - top2[..., 1]
+           <= jnp.float32(_BLUR_REL_ERR) * top2[..., 0])
+    )
+    return SelectResult(
+        image=jnp.where(processed, pick, jnp.uint8(0)),
+        unstable=unstable,
+    )
+
+
+def canonical_rare_picks(
+    dots: np.ndarray,     # [H, W, 16] uint16 (host)
+    ys: np.ndarray,
+    xs: np.ndarray,
+    dev: float = 2.0,
+) -> np.ndarray:
+    """Canonical (f64, fixed nesting) rare-path color picks for the given
+    interior pixels — the exact oracle the device's stability bound
+    certifies against.  Cheap: only knife-edge pixels ever need it."""
+    g = _g1d(dev).astype(np.float64)
+    margin = g.shape[0] // 2
+    picks = np.empty(len(ys), np.uint8)
+    dots_f = dots.astype(np.float64)
+    for i, (y, x) in enumerate(zip(ys, xs)):
+        win = dots_f[y - margin : y + margin + 1,
+                     x - margin : x + margin + 1]     # [S, S, 16]
+        rowp = np.tensordot(g, win, axes=(0, 1))      # sum over dx -> [S,16]
+        score = np.tensordot(g, rowp, axes=(0, 0))    # sum over dy -> [16]
+        score = np.where(dots[y, x] > 0, score, 0.0)
+        picks[i] = np.uint8(score.argmax())
+    return picks
 
 
 def filter_fragment(
@@ -157,7 +225,18 @@ def filter_fragment(
     size: int = 15,
     dev: float = 2.0,
     threshold: float = 0.25,
-) -> jax.Array:
-    """arf::filter minus the final margin crop (arf.hpp:314-328)."""
+) -> np.ndarray:
+    """arf::filter minus the final margin crop (arf.hpp:314-328).
+
+    Device select + exact host re-selection of the (rare) pixels the
+    stability bound flags — the result is the canonical image bit-exactly
+    on every backend."""
     heat = heatmap(blend_image, blend_mask, size)
-    return select(dots, heat, dev, threshold)
+    res = select(dots, heat, dev, threshold)
+    out = np.asarray(res.image)
+    unstable = np.asarray(res.unstable)
+    if unstable.any():
+        ys, xs = np.nonzero(unstable)
+        out = out.copy()
+        out[ys, xs] = canonical_rare_picks(np.asarray(dots), ys, xs, dev)
+    return out

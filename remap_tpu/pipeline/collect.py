@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterable, List, Optional, Tuple
 
@@ -193,7 +194,8 @@ def match_pass(
     # blocking fetch of n's results.
     pool = ThreadPoolExecutor(max_workers=1) if feed is not None else None
     fut = pool.submit(feed.read_packed_batch, 0, b) if pool else None
-    pending = None
+    pending: deque = deque()
+    depth = max(1, cfg.collect_drain_depth)
     try:
         while not done:
             if feed is not None:
@@ -234,15 +236,18 @@ def match_pass(
             packed_dev = jnp.asarray(packed)
             images = _unpack_jit(packed_dev, w_full)
             median, off, ok, tovf, jovf, rovf, carry = step(images, carry)
-            if pending is not None:
-                drain(pending)
-            pending = (
+            pending.append((
                 number, n_real, packed, packed_dev, median, off, ok, tovf,
                 jovf, rovf,
-            )
+            ))
+            # k-deep dispatch chain: keep up to `depth` batches in flight
+            # so the blocking fetch of batch n happens after batch
+            # n+depth's dispatch (amortizes the fetch round trip)
+            if len(pending) >= depth:
+                drain(pending.popleft())
             number += n_real
-        if pending is not None:
-            drain(pending)
+        while pending:
+            drain(pending.popleft())
     finally:
         if pool is not None:
             pool.shutdown(wait=False)

@@ -88,8 +88,19 @@ def _extract_snippet(frag: Fragment, cfg: PipelineConfig) -> _Snippet:
 
     layout = make_layout(cw, ch, 1, 1, 0)
     dense = kpe_ops.extract_dense(image[None], layout)
-    tabs = table_ops.extract_tables(
-        dense.weight, dense.codes, layout, cfg.splice_capacity
+    # the reference keeps EVERY keypoint of the blended canvas in its
+    # hash-map region (fgs.hpp:80-103); a fixed-capacity table that
+    # silently truncates makes the 0.66 cell-ratio validation reject
+    # merges the reference accepts (found by the compiled-reference e2e
+    # differential on a teleport clip).  Size the table to the true
+    # keypoint count, in x4 buckets to bound recompiles.
+    total = int(np.asarray((dense.weight[0] > 0).sum()))
+    cap = cfg.splice_capacity
+    while cap < total:
+        cap *= 4
+    tabs = table_ops.extract_tables(dense.weight, dense.codes, layout, cap)
+    assert not bool(np.asarray(tabs.overflow).any()), (
+        "splice table overflow despite count-sized capacity"
     )
 
     return _Snippet(

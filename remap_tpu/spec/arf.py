@@ -87,20 +87,39 @@ def gauss_kernel(dev: float) -> np.ndarray:
     return (a * np.exp(-(ys * ys + xs * xs) / d)).astype(np.float32)
 
 
+def gauss_1d(dev: float) -> np.ndarray:
+    """Separable 1-D factor g with g[dy]*g[dx] == gauss_kernel(dev)[dy,dx]
+    in real arithmetic (float32 weights — the canonical quantization)."""
+    kernel = gauss_kernel(dev)
+    margin = kernel.shape[0] // 2
+    return (kernel[margin, :] / np.sqrt(kernel[margin, margin])).astype(
+        np.float32
+    )
+
+
 def select(
     dots: np.ndarray,
     heat: np.ndarray,
     dev: float,
     threshold: float = 0.25,
 ) -> np.ndarray:
-    """Conditional Gaussian-vote color selection (arf.hpp:255-307)."""
-    kernel = gauss_kernel(dev)
-    size = kernel.shape[0]
+    """Conditional Gaussian-vote color selection (arf.hpp:255-307).
+
+    CANONICAL rare-path arithmetic: float64 evaluation of the separable
+    blur (sum over dx with float32 1-D weights, then over dy) — the
+    single definition every backend reproduces bit-exactly (the device
+    computes it in f32 and defers provably-undecidable knife-edge pixels
+    to an exact host re-selection, ops.arf.select).  The reference's own
+    float path is internally inconsistent (rsqrt-approx vs exact sqrt,
+    arf.hpp:203-209), so exact-sqrt + f64-canonical-blur is this spec's
+    documented resolution (PARITY.md)."""
+    g = gauss_1d(dev).astype(np.float64)
+    size = g.shape[0]
     margin = size // 2
 
     h, w = dots.shape[:2]
     out = np.zeros((h, w), dtype=np.uint8)
-    dots_f = dots.astype(np.float32)
+    dots_f = dots.astype(np.float64)
 
     for y in range(margin, h - margin):
         for x in range(margin, w - margin - 1):  # last column skipped (quirk)
@@ -108,7 +127,8 @@ def select(
                 window = dots_f[
                     y - margin : y + margin + 1, x - margin : x + margin + 1
                 ]
-                temp = (window * kernel[:, :, None]).sum(axis=(0, 1))
+                rowp = np.tensordot(g, window, axes=(0, 1))   # over dx
+                temp = np.tensordot(g, rowp, axes=(0, 0))     # over dy
                 temp = temp * (dots[y, x] > 0)
                 out[y, x] = np.uint8(temp.argmax())
             else:

@@ -48,11 +48,10 @@ def test_full_pipeline_matches_spec(both):
     assert len(jres.maps) == len(smaps)
     for jm, sm in zip(jres.maps, smaps):
         assert jm.shape == sm.shape
-        mismatch = (jm != sm).mean()
-        # float conv ULP differences may flip knife-edge argmax ties in the
-        # artifact blur; everything else is bit-exact
-        assert mismatch < 0.002, mismatch
-        np.testing.assert_array_equal(jm.shape, sm.shape)
+        # bit-exact INCLUDING the artifact blur: the device defers
+        # knife-edge argmax ties to an exact host re-selection against
+        # the canonical f64 spec (ops.arf stability bound)
+        np.testing.assert_array_equal(jm, sm)
 
 
 def test_pipeline_no_window():
@@ -124,6 +123,11 @@ def test_arf_ops_match_spec():
     dots[ys, xs, (image.astype(int) + 1) % 16] += 2
 
     sout = sarf.select(dots, sheat, 2.0)
-    jout = np.asarray(jarf.select(jnp.asarray(dots), jnp.asarray(jheat)))
-    mismatch = (sout != jout).mean()
-    assert mismatch < 0.002, mismatch
+    jres = jarf.select(jnp.asarray(dots), jnp.asarray(jheat))
+    jout = np.asarray(jres.image)
+    unstable = np.asarray(jres.unstable)
+    if unstable.any():
+        ys, xs = np.nonzero(unstable)
+        jout = jout.copy()
+        jout[ys, xs] = jarf.canonical_rare_picks(dots, ys, xs, 2.0)
+    np.testing.assert_array_equal(sout, jout)
