@@ -33,21 +33,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _cc_core(img, values):
+def _cc_core(img, values, geometry=None):
     """Run the segmented-scan min-propagation fixpoint.
 
     ``values`` is a tuple of int32 planes, each propagated with MIN over
     equal-valued 4-connectivity (propagate a negated plane for MAX).  The
     fixpoint is checked across ALL planes: label values can stabilize
     before a slower-travelling stat (e.g. a far corner's bbox extent)
-    finishes crossing the component."""
+    finishes crossing the component.
+
+    ``geometry`` (interior, big) overrides the whole-frame defaults for
+    banded invocations, where the interior mask depends on the band's
+    global row range and the sentinel on the full-image size."""
     h, w = img.shape
-    big = h * w
 
     yi = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xi = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    # bottom horizon is TWO rows (cte.hpp:155-165; see ops.cc docstring)
-    interior = (yi > 0) & (yi < h - 2) & (xi > 0) & (xi < w - 1)
+    if geometry is None:
+        big = h * w
+        # bottom horizon is TWO rows (cte.hpp:155-165; see ops.cc doc)
+        interior = (yi > 0) & (yi < h - 2) & (xi > 0) & (xi < w - 1)
+    else:
+        interior, big = geometry
     im = jnp.where(interior, img, -1)
 
     def shift_fwd(a, s, axis, fill):
@@ -176,6 +183,125 @@ def label_components_batch(images: jax.Array) -> jax.Array:
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
     )(i32)
+
+
+def _make_band_kernel(true_h: int, bh: int):
+    """Label one row-band with GLOBAL row-major flat indices.
+
+    The band is labeled in isolation (runs stop at the band boundary);
+    cross-band components are unified afterwards by
+    :func:`_merge_band_labels`.  Interior/horizon masking uses the
+    band's global row range against the full-image geometry."""
+
+    def kernel(img_ref, lab_ref):
+        band = pl.program_id(1)
+        img = img_ref[0, 0]
+        h, w = img.shape            # h == bh
+        big = true_h * w
+        gy0 = band * bh
+        yi = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) + gy0
+        xi = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        interior = (
+            (yi > 0) & (yi < true_h - 2) & (xi > 0) & (xi < w - 1)
+        )
+        (lab,), _, _, _ = _cc_core(
+            img, (yi * w + xi,), geometry=(interior, big)
+        )
+        lab_ref[0, 0] = jnp.where(interior, lab, big)
+
+    return kernel
+
+
+def _merge_band_labels(labels, images, bh: int, true_h: int):
+    """Unify components across band boundaries (min-hooking union-find).
+
+    labels/images are the row-padded [B, R*bh, W] planes; returns labels
+    with every cross-band component relabeled to its global row-major
+    first flat index — bit-identical to the whole-frame kernel."""
+    b, hp, w = labels.shape
+    r = hp // bh
+    big = true_h * w
+
+    lab_r = labels.reshape(b, r, bh, w)
+    img_r = images.astype(jnp.int32).reshape(b, r, bh, w)
+    above = lab_r[:, :-1, -1].reshape(b, -1)     # last row of band k
+    below = lab_r[:, 1:, 0].reshape(b, -1)       # first row of band k+1
+    ia = img_r[:, :-1, -1].reshape(b, -1)
+    ib = img_r[:, 1:, 0].reshape(b, -1)
+    valid = (ia == ib) & (above < big) & (below < big)
+    # invalid edges become self-loops on the sentinel (harmless)
+    ea = jnp.where(valid, above, big)
+    eb = jnp.where(valid, below, big)
+
+    table = jnp.broadcast_to(
+        jnp.arange(big + 1, dtype=jnp.int32), (b, big + 1)
+    )
+
+    def body(state):
+        t, _ = state
+        ra = jnp.take_along_axis(t, ea, axis=1)
+        rb = jnp.take_along_axis(t, eb, axis=1)
+        m = jnp.minimum(ra, rb)
+        t2 = t.at[jnp.arange(b)[:, None], ea].min(m)
+        t2 = t2.at[jnp.arange(b)[:, None], eb].min(m)
+        t2 = jnp.take_along_axis(t2, t2, axis=1)    # pointer jump
+        return t2, jnp.any(t2 != t)
+
+    t, _ = jax.lax.while_loop(
+        lambda s: s[1], body, body((table, jnp.bool_(True)))
+    )
+    flat = jnp.take_along_axis(
+        t, labels.reshape(b, -1), axis=1
+    ).reshape(b, hp, w)
+    return flat
+
+
+# Scoped-VMEM budget per band: the unrolled Hillis-Steele doubling steps
+# keep ~40 int32 planes live (measured: 25.2M scoped for a 164k-element
+# band), so cap bands at ~90k elements to stay under the 16M limit.
+_BAND_ELEMS = 90_000
+
+
+def default_band_rows(w: int) -> int:
+    return max(8, (_BAND_ELEMS // max(w, 1)) // 8 * 8)
+
+
+@functools.partial(jax.jit, static_argnames=("band_rows",))
+def label_components_banded(
+    images: jax.Array, band_rows: int | None = None
+) -> jax.Array:
+    """[B, H, W] -> [B, H, W] int32 labels for frames too tall for the
+    whole-plane VMEM kernel (>VGA screens).
+
+    Row-banded: each band is labeled in VMEM with global flat indices
+    (grid (B, R)), then a union-find over the band-boundary adjacencies
+    relabels cross-band components to their global minimum — bit-exact
+    vs :func:`label_components_batch` (cte.hpp:60-79 semantics at any
+    frame size)."""
+    b, h, w = images.shape
+    bh = band_rows if band_rows is not None else default_band_rows(w)
+    r = -(-h // bh)
+    pad = r * bh - h
+    i32 = images.astype(jnp.int32)
+    if pad:
+        # padding rows sit below the bottom horizon: non-interior by the
+        # global geometry, labeled sentinel, never merged
+        i32 = jnp.concatenate(
+            [i32, jnp.full((b, pad, w), -3, jnp.int32)], axis=1
+        )
+    lab = pl.pallas_call(
+        _make_band_kernel(h, bh),
+        grid=(b, r),
+        in_specs=[
+            pl.BlockSpec((1, 1, bh, w), lambda i, k: (i, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bh, w), lambda i, k: (i, k, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, r, bh, w), jnp.int32),
+    )(i32.reshape(b, r, bh, w)).reshape(b, r * bh, w)
+    merged = _merge_band_labels(lab, i32, bh, h)
+    return merged[:, :h]
 
 
 # VMEM working sets in lane-padded plane elements: the label-only kernel

@@ -93,6 +93,45 @@ def test_cc_kernel_matches_xla(interpret_pallas):
         np.testing.assert_array_equal(out, ref)
 
 
+def test_cc_banded_matches_whole_frame(interpret_pallas):
+    """Row-banded CC (>VGA path) == whole-frame kernel bit-exactly:
+    random content, tall vertical stripes (every component crosses every
+    band boundary), a band-dodging spiral, and a height that does not
+    divide into the band size (padding path)."""
+    from remap_tpu.ops import cc
+    from remap_tpu.ops.pallas import cc as pcc
+
+    rng = np.random.default_rng(13)
+    stripes = np.tile(
+        np.repeat(rng.integers(0, 4, 12, np.uint8).astype(np.uint8), 8)[
+            None, :96
+        ],
+        (64, 1),
+    )
+    spiral = np.zeros((64, 96), np.uint8)
+    spiral[::6, :] = 1
+    for i, r in enumerate(range(0, 64, 6)):
+        spiral[r, -2 if i % 2 == 0 else 1] = 0
+    cases = [
+        (rng.integers(0, 3, (64, 96)).astype(np.uint8), 16),
+        (stripes, 16),
+        (spiral, 16),
+        (rng.integers(0, 3, (50, 96)).astype(np.uint8), 16),  # pad path
+        (np.kron(
+            rng.integers(0, 4, (10, 12), np.uint8),
+            np.ones((6, 8), np.uint8),
+        )[:58, :96], 8),
+    ]
+    for img, band in cases:
+        ref = np.asarray(cc.label_components(jnp.asarray(img)))
+        out = np.asarray(
+            pcc.label_components_banded(
+                jnp.asarray(img[None]), band_rows=band
+            )
+        )[0]
+        np.testing.assert_array_equal(out, ref)
+
+
 def test_fde_stats_path_matches_xla(interpret_pallas):
     """extract_batch via the CC-stats kernel == the XLA segment-op path."""
     from remap_tpu.ops import fde as fde_ops
