@@ -36,11 +36,20 @@ def _native_lib() -> Optional[ctypes.CDLL]:
     ):
         import subprocess
 
-        subprocess.run(
+        proc = subprocess.run(
             ["make", "-C", native_dir],
             capture_output=True,
             check=False,
         )
+        if proc.returncode != 0:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "native codec build failed (rc=%d); falling back to the "
+                "NumPy spec codec\n%s",
+                proc.returncode,
+                proc.stderr.decode(errors="replace")[-2000:],
+            )
     if os.path.exists(path):
         lib = ctypes.CDLL(path)
         lib.rle_compress.restype = ctypes.c_size_t

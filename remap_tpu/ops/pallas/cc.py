@@ -212,12 +212,69 @@ def _make_band_kernel(true_h: int, bh: int):
     return kernel
 
 
-def _merge_band_labels(labels, images, bh: int, true_h: int):
-    """Unify components across band boundaries (min-hooking union-find).
+def _seg_run_min(keys, vals):
+    """Per-element min of ``vals`` over its run of equal (sorted) keys."""
+    n = keys.shape[-1]
+    fwd = vals
+    s = 1
+    while s < n:
+        ks = jnp.pad(keys[..., :-s], ((0, 0), (s, 0)), constant_values=-1)
+        vs = jnp.pad(fwd[..., :-s], ((0, 0), (s, 0)),
+                     constant_values=jnp.iinfo(jnp.int32).max)
+        fwd = jnp.where(ks == keys, jnp.minimum(fwd, vs), fwd)
+        s *= 2
+    bwd = fwd
+    s = 1
+    while s < n:
+        ks = jnp.pad(keys[..., s:], ((0, 0), (0, s)), constant_values=-1)
+        vs = jnp.pad(bwd[..., s:], ((0, 0), (0, s)),
+                     constant_values=jnp.iinfo(jnp.int32).max)
+        bwd = jnp.where(ks == keys, jnp.minimum(bwd, vs), bwd)
+        s *= 2
+    return bwd
 
-    labels/images are the row-padded [B, R*bh, W] planes; returns labels
-    with every cross-band component relabeled to its global row-major
-    first flat index — bit-identical to the whole-frame kernel."""
+
+def _make_band_relax_kernel(true_h: int, bh: int):
+    """Pass 2: propagate an existing (boundary-rooted) label plane to its
+    in-band fixpoint.  Identical to _make_band_kernel except the label
+    plane arrives as an input instead of starting from iota."""
+
+    def kernel(img_ref, lab_in_ref, lab_ref):
+        band = pl.program_id(1)
+        img = img_ref[0, 0]
+        h, w = img.shape
+        big = true_h * w
+        gy0 = band * bh
+        yi = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) + gy0
+        xi = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        interior = (
+            (yi > 0) & (yi < true_h - 2) & (xi > 0) & (xi < w - 1)
+        )
+        (lab,), _, _, _ = _cc_core(
+            img, (lab_in_ref[0, 0],), geometry=(interior, big)
+        )
+        lab_ref[0, 0] = jnp.where(interior, lab, big)
+
+    return kernel
+
+
+def _merge_band_labels(labels, images, bh: int, true_h: int):
+    """Unify components across band boundaries, without any dense-table
+    gather (a 2M-row relabel gather alone costs ~19 ms on TPU — the
+    scalar-core addressing floor).
+
+    1. Boundary edges: (label above, label below) where the image value
+       matches across each band boundary.
+    2. Compact union-find by min-relaxation over the edge list: rounds
+       of sort + segmented run-min until no estimate changes (all
+       sort/scan ops on the ~(R-1)*W edge array; typical content
+       converges in a handful of rounds).
+    3. Each boundary pixel's rooted label rides back in edge order; the
+       caller re-runs the in-band min fixpoint seeded with the rooted
+       boundary rows, which spreads the global roots through band
+       interiors (labels only ever decrease within the same component,
+       so the result equals the whole-frame kernel's labels).
+    """
     b, hp, w = labels.shape
     r = hp // bh
     big = true_h * w
@@ -229,31 +286,40 @@ def _merge_band_labels(labels, images, bh: int, true_h: int):
     ia = img_r[:, :-1, -1].reshape(b, -1)
     ib = img_r[:, 1:, 0].reshape(b, -1)
     valid = (ia == ib) & (above < big) & (below < big)
-    # invalid edges become self-loops on the sentinel (harmless)
     ea = jnp.where(valid, above, big)
     eb = jnp.where(valid, below, big)
+    e = ea.shape[1]
 
-    table = jnp.broadcast_to(
-        jnp.arange(big + 1, dtype=jnp.int32), (b, big + 1)
+    keys0 = jnp.concatenate([ea, eb], axis=1)          # [B, 2E]
+    pos = jnp.broadcast_to(
+        jnp.arange(2 * e, dtype=jnp.int32), keys0.shape
     )
+    skeys, spos = jax.lax.sort((keys0, pos), num_keys=1, dimension=1)
 
     def body(state):
-        t, _ = state
-        ra = jnp.take_along_axis(t, ea, axis=1)
-        rb = jnp.take_along_axis(t, eb, axis=1)
+        ra, rb, _ = state
         m = jnp.minimum(ra, rb)
-        t2 = t.at[jnp.arange(b)[:, None], ea].min(m)
-        t2 = t2.at[jnp.arange(b)[:, None], eb].min(m)
-        t2 = jnp.take_along_axis(t2, t2, axis=1)    # pointer jump
-        return t2, jnp.any(t2 != t)
+        vals = jnp.concatenate([m, m], axis=1)
+        # group by node id (the pre-sorted key order), run-min, unsort
+        sv = jnp.take_along_axis(vals, spos, axis=1)
+        sv = _seg_run_min(skeys, sv)
+        back = jnp.zeros_like(vals).at[
+            jnp.arange(b)[:, None], spos
+        ].set(sv)
+        ra2 = jnp.minimum(ra, back[:, :e])
+        rb2 = jnp.minimum(rb, back[:, e:])
+        changed = jnp.any((ra2 != ra) | (rb2 != rb))
+        return ra2, rb2, changed
 
-    t, _ = jax.lax.while_loop(
-        lambda s: s[1], body, body((table, jnp.bool_(True)))
-    )
-    flat = jnp.take_along_axis(
-        t, labels.reshape(b, -1), axis=1
-    ).reshape(b, hp, w)
-    return flat
+    init = body((ea, eb, jnp.bool_(True)))
+    ra, rb, _ = jax.lax.while_loop(lambda s: s[2], body, init)
+
+    # write rooted labels back onto the boundary rows
+    rooted_above = jnp.where(valid, ra, above)
+    rooted_below = jnp.where(valid, rb, below)
+    lab_r = lab_r.at[:, :-1, -1].set(rooted_above.reshape(b, r - 1, w))
+    lab_r = lab_r.at[:, 1:, 0].set(rooted_below.reshape(b, r - 1, w))
+    return lab_r.reshape(b, hp, w)
 
 
 # Scoped-VMEM budget per band: the unrolled Hillis-Steele doubling steps
@@ -289,19 +355,27 @@ def label_components_banded(
         i32 = jnp.concatenate(
             [i32, jnp.full((b, pad, w), -3, jnp.int32)], axis=1
         )
+    spec = pl.BlockSpec((1, 1, bh, w), lambda i, k: (i, k, 0, 0),
+                        memory_space=pltpu.VMEM)
     lab = pl.pallas_call(
         _make_band_kernel(h, bh),
         grid=(b, r),
-        in_specs=[
-            pl.BlockSpec((1, 1, bh, w), lambda i, k: (i, k, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, bh, w), lambda i, k: (i, k, 0, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[spec],
+        out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((b, r, bh, w), jnp.int32),
     )(i32.reshape(b, r, bh, w)).reshape(b, r * bh, w)
-    merged = _merge_band_labels(lab, i32, bh, h)
-    return merged[:, :h]
+    if r == 1:
+        return lab[:, :h]
+    seeded = _merge_band_labels(lab, i32, bh, h)
+    out = pl.pallas_call(
+        _make_band_relax_kernel(h, bh),
+        grid=(b, r),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, r, bh, w), jnp.int32),
+    )(i32.reshape(b, r, bh, w),
+      seeded.reshape(b, r, bh, w)).reshape(b, r * bh, w)
+    return out[:, :h]
 
 
 # VMEM working sets in lane-padded plane elements: the label-only kernel
