@@ -25,17 +25,39 @@ size_t rle_compress(const uint8_t* src, size_t n, uint8_t* out) {
   lit.reserve(256);
 
   auto flush_literals = [&](size_t count) {
+    // 0xC0 carries a 14-bit length; split longer literal runs at even
+    // pixel counts (keeps nibble-byte alignment).  The reference
+    // corrupts the opcode beyond 16383 (nic.hpp:25); the split is the
+    // strictly-correct extension, byte-identical on inputs the
+    // reference survives (mirrors remap_tpu/spec/nic.py).
+    size_t start = 0;
+    while (count > 16383) {
+      out[w++] = static_cast<uint8_t>(0xC0 | (16382 >> 8));
+      out[w++] = static_cast<uint8_t>(16382 & 0xFF);
+      for (size_t k = 0; k < 8191; ++k) out[w++] = lit[start + k];
+      start += 8191;
+      count -= 16382;
+    }
     if (count < 64) {
       out[w++] = static_cast<uint8_t>(0x80 | count);
     } else {
       out[w++] = static_cast<uint8_t>(0xC0 | (count >> 8));
       out[w++] = static_cast<uint8_t>(count & 0xFF);
     }
-    for (uint8_t b : lit) out[w++] = b;
+    for (size_t k = start; k < lit.size(); ++k) out[w++] = lit[k];
     lit.clear();
   };
 
   auto emit_repeat = [&](size_t len, uint8_t color) {
+    // 16-bit repeat length: split longer runs, leaving a >= 4 tail so
+    // the final opcode stays valid.  The reference's uint16 rep_len
+    // wraps at 65536 and crashes on the next pixel (nic.hpp:57).
+    while (len > 65535) {
+      out[w++] = static_cast<uint8_t>(0x40 | (2 << 4) | color);
+      out[w++] = static_cast<uint8_t>(65532 & 0xFF);
+      out[w++] = static_cast<uint8_t>(65532 >> 8);
+      len -= 65532;
+    }
     if (len <= 6) {
       out[w++] = static_cast<uint8_t>(((len - 3) << 4) | color);
     } else {

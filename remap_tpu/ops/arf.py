@@ -181,11 +181,15 @@ def select(
     )
     # knife-edge detection: if top1 - top2 <= err*top1 the f32 argmax is
     # not provably the canonical one (ties included: spec breaks ties by
-    # lowest color index, as argmax does, but f32 may order them apart)
+    # lowest color index, as argmax does, but f32 may order them apart).
+    # Pixels with no votes at all (top1 == 0 — e.g. the canvas's empty
+    # growth margins, which are always "rare": heat = 1/sqrt(0) = inf)
+    # pick color 0 deterministically and are NOT knife edges.
     top2 = jax.lax.top_k(scores, 2)[0]
     unstable = (
         rare
         & processed
+        & (top2[..., 0] > 0)
         & (top2[..., 0] - top2[..., 1]
            <= jnp.float32(_BLUR_REL_ERR) * top2[..., 0])
     )
@@ -201,21 +205,14 @@ def canonical_rare_picks(
     xs: np.ndarray,
     dev: float = 2.0,
 ) -> np.ndarray:
-    """Canonical (f64, fixed nesting) rare-path color picks for the given
-    interior pixels — the exact oracle the device's stability bound
-    certifies against.  Cheap: only knife-edge pixels ever need it."""
-    g = _g1d(dev).astype(np.float64)
-    margin = g.shape[0] // 2
-    picks = np.empty(len(ys), np.uint8)
-    dots_f = dots.astype(np.float64)
-    for i, (y, x) in enumerate(zip(ys, xs)):
-        win = dots_f[y - margin : y + margin + 1,
-                     x - margin : x + margin + 1]     # [S, S, 16]
-        rowp = np.tensordot(g, win, axes=(0, 1))      # sum over dx -> [S,16]
-        score = np.tensordot(g, rowp, axes=(0, 0))    # sum over dy -> [16]
-        score = np.where(dots[y, x] > 0, score, 0.0)
-        picks[i] = np.uint8(score.argmax())
-    return picks
+    """Canonical rare-path color picks for the given interior pixels —
+    the exact oracle the device's stability bound certifies against.
+    Delegates to spec.arf.rare_picks so a SINGLE f64 routine (same op,
+    same summation order) defines the semantics everywhere.  Cheap: only
+    knife-edge pixels ever need it."""
+    from remap_tpu.spec import arf as spec_arf
+
+    return spec_arf.rare_picks(dots, ys, xs, dev)
 
 
 def filter_fragment(

@@ -137,15 +137,31 @@ def _match(
         off = tuple(int(v) for v in np.asarray(res.offset))
         return off, int(res.count)
 
+    # snippets size their tables to their own keypoint counts (x4
+    # buckets); pad the smaller table so the pair shares one shape
+    k = max(head.codes.shape[0], other.codes.shape[0])
+
+    def padded(s):
+        extra = k - s.codes.shape[0]
+        if extra == 0:
+            return s.codes, s.pos, s.valid
+        return (
+            np.pad(s.codes, ((0, extra), (0, 0))),
+            np.pad(s.pos, ((0, extra), (0, 0))),
+            np.pad(s.valid, (0, extra)),
+        )
+
+    h_codes, h_pos, h_valid = padded(head)
+    o_codes, o_pos, o_valid = padded(other)
     mult = cfg.join_multiplicity
     while True:
         res = splice_ops.match_fragments(
-            jnp.asarray(head.codes),
-            jnp.asarray(head.pos),
-            jnp.asarray(head.valid),
-            jnp.asarray(other.codes),
-            jnp.asarray(other.pos),
-            jnp.asarray(other.valid),
+            jnp.asarray(h_codes),
+            jnp.asarray(h_pos),
+            jnp.asarray(h_valid),
+            jnp.asarray(o_codes),
+            jnp.asarray(o_pos),
+            jnp.asarray(o_valid),
             jnp.asarray(head.mask_bucket),
             jnp.asarray(np.array(head.dims, np.int32)),
             jnp.asarray(np.array(other.dims, np.int32)),

@@ -97,6 +97,33 @@ def gauss_1d(dev: float) -> np.ndarray:
     )
 
 
+def rare_picks(
+    dots: np.ndarray, ys: np.ndarray, xs: np.ndarray, dev: float
+) -> np.ndarray:
+    """THE canonical rare-path selection for interior pixels (ys, xs).
+
+    float64 evaluation of the separable blur — contract dx then dy with
+    the float32 1-D weights via np.tensordot on the batched [K, S, S,
+    16] window stack.  This exact routine (same op, same order) is what
+    the device's stability bound certifies against and what the host
+    re-selection runs (ops.arf.canonical_rare_picks delegates here), so
+    there is a single f64 summation order in existence."""
+    g = gauss_1d(dev).astype(np.float64)
+    margin = g.shape[0] // 2
+    ys = np.asarray(ys)
+    xs = np.asarray(xs)
+    if len(ys) == 0:
+        return np.empty(0, np.uint8)
+    dy = np.arange(-margin, margin + 1)
+    wy = (ys[:, None] + dy)[:, :, None]
+    wx = (xs[:, None] + dy)[:, None, :]
+    win = dots.astype(np.float64)[wy, wx]             # [K, S, S, 16]
+    rowp = np.tensordot(win, g, axes=(2, 0))          # over dx -> [K, S, 16]
+    score = np.tensordot(rowp, g, axes=(1, 0))        # over dy -> [K, 16]
+    score = np.where(dots[ys, xs] > 0, score, 0.0)
+    return score.argmax(axis=1).astype(np.uint8)
+
+
 def select(
     dots: np.ndarray,
     heat: np.ndarray,
@@ -105,34 +132,28 @@ def select(
 ) -> np.ndarray:
     """Conditional Gaussian-vote color selection (arf.hpp:255-307).
 
-    CANONICAL rare-path arithmetic: float64 evaluation of the separable
-    blur (sum over dx with float32 1-D weights, then over dy) — the
-    single definition every backend reproduces bit-exactly (the device
-    computes it in f32 and defers provably-undecidable knife-edge pixels
-    to an exact host re-selection, ops.arf.select).  The reference's own
-    float path is internally inconsistent (rsqrt-approx vs exact sqrt,
+    CANONICAL rare-path arithmetic: :func:`rare_picks` (float64
+    separable blur) — the single definition every backend reproduces
+    bit-exactly (the device computes it in f32 and defers provably-
+    undecidable knife-edge pixels to the same routine,
+    ops.arf.canonical_rare_picks).  The reference's own float path is
+    internally inconsistent (rsqrt-approx vs exact sqrt,
     arf.hpp:203-209), so exact-sqrt + f64-canonical-blur is this spec's
     documented resolution (PARITY.md)."""
-    g = gauss_1d(dev).astype(np.float64)
-    size = g.shape[0]
+    size = gauss_1d(dev).shape[0]
     margin = size // 2
 
     h, w = dots.shape[:2]
     out = np.zeros((h, w), dtype=np.uint8)
-    dots_f = dots.astype(np.float64)
-
-    for y in range(margin, h - margin):
-        for x in range(margin, w - margin - 1):  # last column skipped (quirk)
-            if heat[y, x] > threshold:
-                window = dots_f[
-                    y - margin : y + margin + 1, x - margin : x + margin + 1
-                ]
-                rowp = np.tensordot(g, window, axes=(0, 1))   # over dx
-                temp = np.tensordot(g, rowp, axes=(0, 0))     # over dy
-                temp = temp * (dots[y, x] > 0)
-                out[y, x] = np.uint8(temp.argmax())
-            else:
-                out[y, x] = np.uint8(dots[y, x].argmax())
+    yi, xi = np.indices((h, w))
+    processed = (
+        (yi >= margin) & (yi < h - margin)
+        & (xi >= margin) & (xi < w - margin - 1)  # last column skipped
+    )
+    rare = processed & (heat > threshold)
+    out[processed] = dots.argmax(axis=2)[processed].astype(np.uint8)
+    ys, xs = np.nonzero(rare)
+    out[ys, xs] = rare_picks(dots, ys, xs, dev)
     return out
 
 

@@ -31,15 +31,39 @@ def compress(image: np.ndarray) -> bytes:
     buffer.append(current << 4)
 
     def write_buf(length: int) -> None:
+        # the 0xC0 opcode carries a 14-bit length; longer literal runs
+        # split at even pixel counts (keeps nibble-byte alignment).  The
+        # reference silently corrupts the opcode here (`0xc0 | (len>>8)`
+        # with len >= 16384 overflows into the opcode bits, nic.hpp:25)
+        # — our split is the strictly-correct extension, byte-identical
+        # on every input the reference survives.
+        start = 0
+        while length > 16383:
+            result.append(0xC0 | (16382 >> 8))
+            result.append(16382 & 0xFF)
+            result.extend(buffer[start : start + 8191])
+            start += 8191
+            length -= 16382
         if length < 64:
             result.append(0x80 | length)
         else:
             result.append(0xC0 | (length >> 8))
             result.append(length & 0xFF)
-        result.extend(buffer)
+        result.extend(buffer[start:])
         buffer.clear()
 
     def write_rep(length: int, color: int) -> None:
+        # the 0x40|0x20 opcode carries a 16-bit length; longer repeats
+        # split, leaving a >= 4 tail so the final opcode stays valid.
+        # The reference CRASHES here: its uint16 rep_len wraps at 65536
+        # and the next pixel pops an empty literal buffer (nic.hpp:57,
+        # heap overflow under ASan — found by the e2e differential on a
+        # solid flash frame).
+        while length > 65535:
+            result.append(0x40 | (2 << 4) | color)
+            result.append(65532 & 0xFF)
+            result.append(65532 >> 8)
+            length -= 65532
         if length <= 6:
             result.append(((length - 3) << 4) | color)
         else:

@@ -6,7 +6,7 @@ stage included), run `remap <frames-dir>` on synthetic raw clips
 (main.cpp:246-266), run OUR pipeline on the same directories, and assert
 the output maps match **pixel-exactly**.
 
-Two clips cover complementary surface:
+Three clips cover complementary surface:
 
 - clip A: scrolling world behind a static HUD + border — aws window
   discovery, 200-frame collect, single fragment, fdf/arf.
@@ -14,6 +14,11 @@ Two clips cover complementary surface:
   matcher must reject (validated against the reference: both pipelines
   break into two fragments and the splicer must re-merge them) — this
   clip caught a real splice-capacity bug in round 3.
+- clip C: adversarial content — a full-screen flash frame and a global
+  palette rotation (two breaks + an unmergeable fragment → three maps).
+  Building it found two real reference-encoder bugs (solid frames CRASH
+  nic::compress; >=16384-px literal runs corrupt the stream — PARITY.md
+  component 8), which our codec fixes by run splitting.
 
 Any divergence must be pinned to a named PARITY.md quirk; today there
 are none on these clips — the maps are byte-identical.
@@ -85,6 +90,36 @@ def _clip_b():
     ).frames
 
 
+def _clip_c():
+    """Adversarial content through the REAL reference: a full-screen
+    "flash" frame (horizontal color bands — kept banded because a SOLID
+    frame crashes the reference's RLE encoder outright: uint16 rep_len
+    wrap at nic.hpp:57, see PARITY.md) and a global palette rotation
+    from frame 155 on.  Both pipelines must break at the flash (twice:
+    no keypoints in, none out) and at the rotation (every code changes),
+    and emit the same per-fragment maps."""
+    fh, fw = FH, FW
+    rng = np.random.default_rng(21)
+    world = testing.make_world(1000, 1400, rng=rng)
+    rng2 = np.random.default_rng(22)
+    path = testing.make_camera_path(
+        176, (1000, 1400), (fh, fw), rng2, max_step=3, start=(350, 320)
+    )
+    frames = [
+        f.copy()
+        for f in testing.render_clip(
+            world, path, (fh, fw), rng=rng2, hud_rows=24, border=8
+        ).frames
+    ]
+    flash = np.zeros((fh, fw), np.uint8)
+    for k in range(0, fh, 100):
+        flash[k : k + 100] = 7 if (k // 100) % 2 == 0 else 8
+    frames[140] = flash
+    for i in range(155, len(frames)):
+        frames[i] = ((frames[i].astype(np.int32) + 1) % 16).astype(np.uint8)
+    return frames
+
+
 def _run_ours(clip_dir) -> list:
     feed = frames_io.RawDirectoryFeed(str(clip_dir), FW, FH)
     cfg = PipelineConfig(screen_width=FW, screen_height=FH)
@@ -123,7 +158,7 @@ def _assert_maps_equal(ref_maps, our_maps, clip_name):
 
 @pytest.mark.parametrize(
     "name,make_clip,expected_maps",
-    [("clipA", _clip_a, 1), ("clipB", _clip_b, 1)],
+    [("clipA", _clip_a, 1), ("clipB", _clip_b, 1), ("clipC", _clip_c, 3)],
 )
 def test_ref_e2e_pixel_exact(
     ref_binary, tmp_path, name, make_clip, expected_maps

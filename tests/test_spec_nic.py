@@ -88,3 +88,43 @@ def test_roundtrip_long_literal():
         if row[i] == row[i - 1] == row[i - 2]:
             row[i] = (row[i] + 1) % 16
     rt(row.reshape(1, 500))
+
+
+def test_roundtrip_giant_runs():
+    """Runs beyond the 16-bit repeat opcode and literals beyond the
+    14-bit literal opcode split into multiple opcodes.
+
+    The reference cannot represent either: its uint16 rep_len wraps at
+    65536 and pops an empty literal buffer (nic.hpp:57 — heap overflow,
+    confirmed under ASan on a solid 388x312 frame), and a >=16384-pixel
+    literal run overflows 0xC0's length field into the opcode bits
+    (nic.hpp:25).  Our split keeps the stream decodable by the
+    unmodified decoder and is byte-identical to the reference on every
+    input the reference survives (PARITY.md)."""
+    from remap_tpu.spec import nic
+
+    cases = [
+        np.full((312, 388), 7, np.uint8),                 # 121056-px run
+        np.concatenate(
+            [np.full(65536, 3, np.uint8), np.full(16, 1, np.uint8)]
+        ).reshape(4, -1),
+        np.concatenate(
+            [np.full(131073, 9, np.uint8), np.full(15, 1, np.uint8)]
+        ).reshape(4, -1),
+        # 40000-px literal run with no >=3 repeat anywhere
+        (np.indices((200, 200)).sum(0) % 2 * 5).astype(np.uint8),
+    ]
+    for img in cases:
+        h, w = img.shape
+        s = nic.compress(img)
+        np.testing.assert_array_equal(nic.decompress(s, w, h), img)
+
+
+def test_native_matches_spec_on_giant_runs():
+    from remap_tpu.io import codec
+    from remap_tpu.spec import nic
+
+    img = np.full((312, 388), 7, np.uint8)
+    n = codec.compress(img)      # native when buildable, else spec
+    assert bytes(n) == nic.compress(img)
+    np.testing.assert_array_equal(codec.decompress(n, 388, 312), img)
