@@ -45,6 +45,9 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--splice-capacity", type=int, default=2048)
     p.add_argument("--checkpoint-dir", default=None,
                    help="dump stage checkpoints for resume/debug")
+    p.add_argument("--resume", action="store_true",
+                   help="restart from the latest stage checkpoint under "
+                        "--checkpoint-dir instead of recomputing it")
     p.add_argument("--perf", action="store_true",
                    help="print per-stage fps counters")
     p.add_argument("--cpu", action="store_true",
@@ -121,8 +124,11 @@ def main(argv=None) -> int:
         cfg,
         callbacks=callbacks,
         checkpoint_dir=args.checkpoint_dir,
+        resume=args.resume,
     )
-    if result.window is None:
+    if result.window is None and not (
+        args.resume and args.checkpoint_dir and result.maps
+    ):
         print("no action window found", file=sys.stderr)
         return 2
 

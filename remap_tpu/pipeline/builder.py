@@ -84,16 +84,58 @@ class BuildResult:
     collect: Optional[collect_stage.CollectResult]
 
 
+def _checkpoint_stage(checkpoint_dir: str) -> Optional[str]:
+    """Latest resumable stage saved under checkpoint_dir, if any."""
+    import os
+
+    for tag in ("filtered", "collect"):
+        if os.path.exists(os.path.join(checkpoint_dir, tag, "meta.json")):
+            return tag
+    return None
+
+
 def build(
     frames_factory: Callable[[], Iterable[np.ndarray]],
     cfg: PipelineConfig,
     callbacks: Optional[Callbacks] = None,
     checkpoint_dir: Optional[str] = None,
+    resume: bool = False,
 ) -> BuildResult:
     """``frames_factory()`` must yield the frame stream anew on each call
     (the reference re-feeds the files after the window scan, mpb.hpp:32).
+
+    With ``resume`` and an existing checkpoint under ``checkpoint_dir``,
+    the pipeline restarts from the latest saved stage boundary (the
+    reference's unused ful.hpp made into a real resume loop): a
+    ``filtered`` checkpoint skips straight to the artifact clean, a
+    ``collect`` checkpoint skips the window scan and collection.
     """
     cb = callbacks or Callbacks()
+
+    if resume and checkpoint_dir:
+        from remap_tpu.io import checkpoint
+
+        stage = _checkpoint_stage(checkpoint_dir)
+        if stage == "filtered":
+            filtered = checkpoint.load(checkpoint_dir, "filtered")
+            cb.on_filter(filtered)
+            maps = clean_stage.clean(filtered, cfg)
+            cb.on_clean(maps)
+            return BuildResult(
+                maps=maps, window=None, fragments=filtered, collect=None
+            )
+        if stage == "collect":
+            frags = checkpoint.load(checkpoint_dir, "collect")
+            spliced = splice_stage.splice(frags, cfg)
+            cb.on_splice(spliced)
+            filtered = fg_stage.filter_fragments(spliced, cfg)
+            cb.on_filter(filtered)
+            checkpoint.save(checkpoint_dir, "filtered", filtered)
+            maps = clean_stage.clean(filtered, cfg)
+            cb.on_clean(maps)
+            return BuildResult(
+                maps=maps, window=None, fragments=filtered, collect=None
+            )
 
     window = window_stage.scan(frames_factory(), cfg)
     cb.on_window(window)

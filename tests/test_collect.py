@@ -77,6 +77,40 @@ def test_batch_boundary_invariance():
         assert got == ref, batch
 
 
+def test_drain_depth_invariance(tmp_path):
+    """Results must not depend on how many dispatched batches are kept
+    in flight (collect_drain_depth) — on either the feed fast path or
+    the iterator path."""
+    from remap_tpu.io.frames import RawDirectoryFeed
+
+    clip = testing.simple_clip(
+        n_frames=21, frame_hw=(64, 96), world_hw=(160, 224), seed=53
+    )
+    d = tmp_path / "frames"
+    d.mkdir()
+    for i, f in enumerate(clip.frames):
+        f.astype(np.uint8).tofile(str(d / str(i)))
+
+    ref = None
+    for depth in (1, 2, 8):
+        cfg = dataclasses.replace(
+            CFG, frame_batch=4, collect_drain_depth=depth
+        )
+        for source in (
+            clip.frames,
+            RawDirectoryFeed(str(d), 96, 64),
+        ):
+            res = jcollect.collect(source, cfg)
+            got = (
+                [tuple(o) for o in res.offsets],
+                res.matched.tolist(),
+                len(res.fragments),
+            )
+            if ref is None:
+                ref = got
+            assert got == ref, (depth, type(source).__name__)
+
+
 def test_store_roundtrip():
     import dataclasses as _dc
 

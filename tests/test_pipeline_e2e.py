@@ -54,6 +54,46 @@ def test_full_pipeline_matches_spec(both):
         np.testing.assert_array_equal(jm, sm)
 
 
+def test_resume_from_checkpoints(clip, tmp_path):
+    """build(resume=True) restarts from the latest stage checkpoint and
+    reproduces the full run's maps without touching the frame source."""
+    import shutil
+
+    full = builder.build_from_frames(
+        clip.frames, CFG, checkpoint_dir=str(tmp_path)
+    )
+
+    def untouched():
+        raise AssertionError("frame source read during resume")
+
+    # latest checkpoint is "filtered": only the artifact clean re-runs
+    r1 = builder.build(
+        untouched, CFG, checkpoint_dir=str(tmp_path), resume=True
+    )
+    assert len(r1.maps) == len(full.maps)
+    for a, b in zip(r1.maps, full.maps):
+        np.testing.assert_array_equal(a, b)
+
+    # drop "filtered": resume replays splice/filter/clean from "collect"
+    shutil.rmtree(tmp_path / "filtered")
+    r2 = builder.build(
+        untouched, CFG, checkpoint_dir=str(tmp_path), resume=True
+    )
+    assert len(r2.maps) == len(full.maps)
+    for a, b in zip(r2.maps, full.maps):
+        np.testing.assert_array_equal(a, b)
+    # ... and re-saves the filtered checkpoint as it passes the boundary
+    assert (tmp_path / "filtered" / "meta.json").exists()
+
+    # no checkpoint present: resume falls through to a normal full run
+    r3 = builder.build_from_frames(
+        clip.frames, CFG,
+        checkpoint_dir=str(tmp_path / "fresh"), resume=True,
+    )
+    for a, b in zip(r3.maps, full.maps):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_pipeline_no_window():
     frames = [np.full((48, 64), 3, np.uint8)] * 10
     res = builder.build_from_frames(frames, CFG)
