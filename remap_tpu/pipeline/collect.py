@@ -138,25 +138,26 @@ def match_pass(
     layout: GridLayout,
     cfg: PipelineConfig,
     store: Optional[FrameStore] = None,
-) -> Tuple[np.ndarray, np.ndarray, int, int, int]:
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Pass 1: per-frame match offsets/flags (and fill the frame store).
 
-    Returns (offsets, matched, table_overflow, join_overflow,
-    range_overflow) — three separate escalation signals: table capacity
-    or sort2-quota overflow (raise capacity / switch table mode), join
-    truncation that could alter a ticket (raise multiplicity), and the
-    vote-radius exactness bound (count exactly with vote_radius=0).
-    Keeping them apart lets the strict loop escalate only the limit that
-    actually tripped — join-only overflow must NOT double the table
-    capacity, which would quadruple the dense-join fallback's cost."""
+    Returns (offsets, matched, table_flags, join_flags, range_flags) —
+    per-frame boolean arrays for three separate escalation signals:
+    table capacity or sort2-quota overflow of frame t's tables (raise
+    capacity / switch table mode), join truncation that could alter the
+    (t-1, t) declaration (raise multiplicity), and the vote-radius
+    exactness bound on that declaration (count exactly with
+    vote_radius=0).  Keeping them apart — and per frame — lets the
+    strict loop escalate only the limit that actually tripped, and only
+    for the pairs it actually flagged."""
     step = make_collect_step(layout, cfg)
     b = cfg.frame_batch
 
     offsets: List[np.ndarray] = []
     matched: List[np.ndarray] = []
-    table_overflow = 0
-    join_overflow = 0
-    range_overflow = 0
+    tab_flags: List[np.ndarray] = []
+    join_flags: List[np.ndarray] = []
+    range_flags: List[np.ndarray] = []
     carry = (
         _empty_carry(layout, cfg.region_capacity),
         jnp.zeros((1, layout.height, layout.width), jnp.uint8),
@@ -164,14 +165,13 @@ def match_pass(
 
     def drain(p) -> None:
         """Materialize one dispatched step's outputs (blocks on device)."""
-        nonlocal table_overflow, join_overflow, range_overflow
         num, n_real, packed, packed_dev, median, off, ok, tovf, jovf, \
             rovf = p
         offsets.append(np.asarray(off)[:n_real])
         matched.append(np.asarray(ok)[:n_real])
-        table_overflow += int(np.asarray(tovf)[:n_real].sum())
-        join_overflow += int(np.asarray(jovf)[:n_real].sum())
-        range_overflow += int(np.asarray(rovf)[:n_real].sum())
+        tab_flags.append(np.asarray(tovf)[:n_real])
+        join_flags.append(np.asarray(jovf)[:n_real])
+        range_flags.append(np.asarray(rovf)[:n_real])
         if store is not None:
             meds = (
                 np.asarray(median)[:n_real] if cfg.store_medians else None
@@ -253,14 +253,99 @@ def match_pass(
             pool.shutdown(wait=False)
 
     if not offsets:
-        return np.zeros((0, 2), np.int32), np.zeros((0,), bool), 0, 0, 0
+        z = np.zeros((0,), bool)
+        return np.zeros((0, 2), np.int32), z, z, z, z
     off = np.concatenate(offsets)
     ok = np.concatenate(matched)
     # frame 0 never matches anything (frc.hpp:83-95)
     ok[0] = False
     off[0] = 0
     off[~ok] = 0
-    return off, ok, table_overflow, join_overflow, range_overflow
+    return (
+        off, ok,
+        np.concatenate(tab_flags),
+        np.concatenate(join_flags),
+        np.concatenate(range_flags),
+    )
+
+
+def make_pair_step(layout: GridLayout, cfg: PipelineConfig):
+    """Jitted re-match of arbitrary (prev, curr) frame pairs.
+
+    Used by the strict escalation loop: the two-pass design makes every
+    (t-1, t) declaration depend only on frames t-1 and t, so an
+    escalated retry needs to recompute exactly the flagged pairs — not
+    replay the whole clip (the reference's serial loop has no such
+    choice, frc.hpp:55-122)."""
+    use_pallas = jax.devices()[0].platform in ("tpu", "axon")
+
+    @jax.jit
+    def pair_step(prev_images: jax.Array, curr_images: jax.Array):
+        dp = kpe_ops.extract_dense(prev_images, layout, use_pallas)
+        dc = kpe_ops.extract_dense(curr_images, layout, use_pallas)
+        tp = table_ops.build_tables(
+            dp.weight, dp.codes, layout, cfg.region_capacity,
+            cfg.table_mode, context="exact",
+        )
+        tc = table_ops.build_tables(
+            dc.weight, dc.codes, layout, cfg.region_capacity,
+            cfg.table_mode, context="exact",
+        )
+        res = kpm_ops.match_tables(
+            tp,
+            tc,
+            layout,
+            weight_switch=cfg.match.weight_switch,
+            region_votes=cfg.match.region_votes,
+            min_active_divisor=cfg.min_active_divisor,
+            runner_up_divisor=cfg.runner_up_divisor,
+            multiplicity=cfg.join_multiplicity,
+            vote_radius=cfg.vote_radius,
+        )
+        tab = tp.overflow.any(axis=-1) | tc.overflow.any(axis=-1)
+        return res.offset, res.ok, tab, res.overflow, res.range_overflow
+
+    return pair_step
+
+
+def repair_pairs(
+    pair_idx: List[int],
+    store: FrameStore,
+    layout: GridLayout,
+    cfg: PipelineConfig,
+    offsets: np.ndarray,
+    matched: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Re-match the pairs (t-1, t) for every t in ``pair_idx`` under
+    ``cfg``, writing the new declarations into ``offsets``/``matched``
+    in place.  Frames come from the store's HBM mirror when collect ran
+    on this device.  Returns per-pair (tab, join, range) flag arrays
+    aligned with ``pair_idx``."""
+    step = make_pair_step(layout, cfg)
+    b = cfg.frame_batch
+    tabs = np.zeros(len(pair_idx), bool)
+    joins = np.zeros(len(pair_idx), bool)
+    ranges = np.zeros(len(pair_idx), bool)
+    for i in range(0, len(pair_idx), b):
+        chunk = list(pair_idx[i : i + b])
+        n_real = len(chunk)
+        pad = chunk + [chunk[-1]] * (b - n_real)
+        prev_imgs = _unpack_jit(
+            store.device_packed_batch([t - 1 for t in pad]), store.width
+        )
+        curr_imgs = _unpack_jit(
+            store.device_packed_batch(pad), store.width
+        )
+        off, ok, tab, jov, rov = step(prev_imgs, curr_imgs)
+        off = np.asarray(off)[:n_real]
+        ok = np.asarray(ok)[:n_real]
+        for k, t in enumerate(chunk):
+            matched[t] = ok[k]
+            offsets[t] = off[k] if ok[k] else 0
+        tabs[i : i + n_real] = np.asarray(tab)[:n_real]
+        joins[i : i + n_real] = np.asarray(jov)[:n_real]
+        ranges[i : i + n_real] = np.asarray(rov)[:n_real]
+    return tabs, joins, ranges
 
 
 def segment_positions(
@@ -416,40 +501,56 @@ def collect(
         )
     store = FrameStore(h, w)
 
-    offsets, matched, tab_ovf, join_ovf, range_ovf = match_pass(
+    offsets, matched, tabf, joinf, rangef = match_pass(
         source, layout, cfg, store
     )
-    while strict and (tab_ovf > 0 or join_ovf > 0 or range_ovf > 0):
-        # Escalate ONLY the limit that tripped (match_pass docstring).
-        if tab_ovf > 0:
+
+    # Per-PAIR flags: the (t-1, t) declaration is suspect if either
+    # endpoint's tables overflowed or the pair's join/radius bound
+    # tripped.  Pair 0 (frame 0 vs nothing) is exempt — its declaration
+    # is forced to no-match regardless (frc.hpp:83-95).
+    n = len(offsets)
+    ptab = tabf.copy()
+    if n:
+        ptab[1:] |= tabf[:-1]
+        ptab[0] = joinf[0] = rangef[0] = False
+    pjoin, prange = joinf, rangef
+
+    ecfg = cfg
+    while strict and (ptab.any() or pjoin.any() or prange.any()):
+        # Escalate ONLY the limit that tripped, and re-match ONLY the
+        # flagged pairs: the stability bounds prove every unflagged
+        # declaration equals its exhaustive recomputation, so a full
+        # clip replay (round 2's strict loop) is provably redundant.
+        if ptab.any():
             if (
-                table_ops.resolve_table_mode(cfg.table_mode, "exact")
+                table_ops.resolve_table_mode(ecfg.table_mode, "exact")
                 == "sort2"
             ):
                 # sort2's chunk-quota flag is density-based — capacity
                 # escalation can NEVER clear it (HUD/border rows pack
                 # solid keypoint runs).  Switch to the quota-free top_k
                 # selection first, with everything else unchanged.
-                cfg = dataclasses.replace(cfg, table_mode="topk")
-            elif cfg.region_capacity >= 1 << 14:
+                ecfg = dataclasses.replace(ecfg, table_mode="topk")
+            elif ecfg.region_capacity >= 1 << 14:
                 break  # give up: caller sees overflow_frames > 0
             else:
-                cfg = dataclasses.replace(
-                    cfg,
-                    region_capacity=cfg.region_capacity * 2,
+                ecfg = dataclasses.replace(
+                    ecfg,
+                    region_capacity=ecfg.region_capacity * 2,
                     vote_radius=0,
                 )
-        elif join_ovf > 0:
+        elif pjoin.any():
             # 4x multiplicity, then the exhaustive dense join (0); the
             # table capacity stays put — doubling it here would quadruple
             # the dense endpoint's quadratic cost for no benefit
-            if cfg.join_multiplicity == 0:
+            if ecfg.join_multiplicity == 0:
                 break  # dense is exact; overflow here is impossible
-            next_mult = 0 if cfg.join_multiplicity >= 16 else (
-                cfg.join_multiplicity * 4
+            next_mult = 0 if ecfg.join_multiplicity >= 16 else (
+                ecfg.join_multiplicity * 4
             )
-            capacity = cfg.region_capacity
-            # bound the replay batch by the join working set: the rolled
+            capacity = ecfg.region_capacity
+            # bound the retry batch by the join working set: the rolled
             # join scales with batch x capacity x multiplicity, the dense
             # endpoint with batch x regions x capacity^2 — size the batch
             # to a ~2 GB live set instead of OOMing
@@ -459,22 +560,38 @@ def collect(
                 per_frame = (
                     layout.region_count * 2 * capacity * 4 * next_mult * 8
                 )
-            batch = max(1, min(cfg.frame_batch, (2 << 30) // per_frame))
-            cfg = dataclasses.replace(
-                cfg,
+            batch = max(1, min(ecfg.frame_batch, (2 << 30) // per_frame))
+            ecfg = dataclasses.replace(
+                ecfg,
                 join_multiplicity=next_mult,
                 frame_batch=batch,
-                vote_radius=0,   # escalated replays always count exactly
+                vote_radius=0,   # escalated retries always count exactly
             )
         else:
             # only the vote-histogram radius tripped: the join limits
             # held, so retry with exact full-range counting alone —
             # capacity/multiplicity/batch stay put
-            cfg = dataclasses.replace(cfg, vote_radius=0)
-        replay = (store.image(i) for i in range(len(store)))
-        offsets, matched, tab_ovf, join_ovf, range_ovf = match_pass(
-            replay, layout, cfg, None
-        )
+            ecfg = dataclasses.replace(ecfg, vote_radius=0)
+        pairs = np.flatnonzero(ptab | pjoin | prange).tolist()
+        if len(pairs) > n // 2:
+            # majority flagged: a full replay extracts each frame once
+            # where pair repair extracts both endpoints per pair
+            replay = (store.image(i) for i in range(len(store)))
+            offsets, matched, tabf, joinf, rangef = match_pass(
+                replay, layout, ecfg, None
+            )
+            ptab = tabf.copy()
+            ptab[1:] |= tabf[:-1]
+            ptab[0] = joinf[0] = rangef[0] = False
+            pjoin, prange = joinf, rangef
+        else:
+            rtab, rjoin, rrange = repair_pairs(
+                pairs, store, layout, ecfg, offsets, matched
+            )
+            ptab[:] = pjoin[:] = prange[:] = False
+            ptab[pairs] = rtab
+            pjoin[pairs] = rjoin
+            prange[pairs] = rrange
 
     segments = segment_positions(offsets, matched)
     fragments = blit_pass(segments, store, cfg)
@@ -483,5 +600,5 @@ def collect(
         store=store,
         offsets=offsets,
         matched=matched,
-        overflow_frames=tab_ovf + join_ovf + range_ovf,
+        overflow_frames=int((ptab | pjoin | prange).sum()),
     )

@@ -165,6 +165,42 @@ def test_strict_retry_on_repetitive_texture():
         np.testing.assert_array_equal(jf.dots, sf.dots)
 
 
+def test_incremental_repair_matches_exhaustive():
+    """The strict loop re-matches only flagged pairs; the result must
+    equal a run with exhaustive limits from the start (the stability
+    bounds say unflagged pairs need no retry — verify it)."""
+    import dataclasses as _dc
+
+    rng = np.random.default_rng(31)
+    # distinct-texture world => most pairs never flag...
+    world = rng.integers(0, 16, size=(180, 240), dtype=np.uint8)
+    # ...except a repetitive-tile stripe the camera crosses mid-clip,
+    # which overwhelms a multiplicity-1 join there
+    tile = rng.integers(0, 16, size=(4, 4), dtype=np.uint8)
+    world[:, 100:140] = np.tile(tile, (45, 10))
+
+    path = [(10 + 6 * i, 30 + (i % 3)) for i in range(16)]
+    frames = [world[y : y + 64, x : x + 96] for x, y in path]
+
+    tight = _dc.replace(
+        CFG, region_capacity=512, join_multiplicity=1, frame_batch=4,
+        vote_radius=4,
+    )
+    res = jcollect.collect(frames, tight)
+    assert res.overflow_frames == 0
+
+    exhaustive = _dc.replace(
+        CFG, region_capacity=2048, join_multiplicity=0, frame_batch=4,
+        vote_radius=0,
+    )
+    ref = jcollect.collect(frames, exhaustive)
+    np.testing.assert_array_equal(res.offsets, ref.offsets)
+    np.testing.assert_array_equal(res.matched, ref.matched)
+    assert len(res.fragments) == len(ref.fragments)
+    for a, b in zip(res.fragments, ref.fragments):
+        np.testing.assert_array_equal(a.dots, b.dots)
+
+
 def test_strict_sort2_quota_escalates_to_topk():
     """HUD-like content packs solid keypoint rows (> SORT2_QUOTA per
     512-px chunk).  With explicit table_mode="sort2" the strict loop must
