@@ -94,6 +94,34 @@ def test_resume_from_checkpoints(clip, tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_builder_composes_feed_crop(clip, tmp_path):
+    """A feed constructed with its own crop must compose with the window
+    crop (the builder offsets the window Rect by the feed's crop origin
+    — replacing it would silently crop the wrong raw region)."""
+    from remap_tpu.core.geometry import Rect
+    from remap_tpu.io.frames import RawDirectoryFeed
+
+    pad_t, pad_l = 6, 8
+    d = tmp_path / "frames"
+    d.mkdir()
+    fh, fw = clip.frames[0].shape
+    for i, f in enumerate(clip.frames):
+        raw = np.zeros((fh + 10, fw + 12), np.uint8)
+        raw[pad_t : pad_t + fh, pad_l : pad_l + fw] = f
+        raw.tofile(str(d / str(i)))
+
+    feed = RawDirectoryFeed(
+        str(d), fw + 12, fh + 10,
+        crop=Rect(left=pad_l, top=pad_t, right=pad_l + fw,
+                  bottom=pad_t + fh),
+    )
+    res = builder.build(lambda: feed, CFG)
+    ref = builder.build_from_frames(clip.frames, CFG)
+    assert len(res.maps) == len(ref.maps)
+    for a, b in zip(res.maps, ref.maps):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_pipeline_no_window():
     frames = [np.full((48, 64), 3, np.uint8)] * 10
     res = builder.build_from_frames(frames, CFG)
