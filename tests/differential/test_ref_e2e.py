@@ -120,6 +120,54 @@ def _clip_c():
     return frames
 
 
+def _clip_d():
+    """Join-escalation content: a band of identical 9x9 "stamps" (period
+    40 px) over an otherwise distinctive world.  Each stamp contributes
+    (9-4)^2 = 25 keypoints whose 5x5 code patch lies fully inside the
+    stamp, so every one of those codes repeats once per stamp — ~12x per
+    region inside the band, trampling the default join multiplicity
+    (4).  The camera crosses the band mid-clip: a *minority* of pairs
+    trip the join-truncation stability bound, which drives the round-3
+    incremental repair path (`collect.repair_pairs`: re-match only the
+    flagged pairs at multiplicity 16, where the rolled join is provably
+    exhaustive for <=16 repeats) — against the reference binary's
+    unbounded hash joins (kpm.hpp:92-170), which are always exact.
+
+    Tuning notes (all measured against the compiled reference):
+    - The world noise is thinned (0.10 vs make_world's 0.25) so the
+      capacity ladder settles at 4096, where the escalated joins stay
+      CPU-cheap; matches still declare with wide margins outside the
+      band.
+    - Stamps must be larger than the 5x5 code patch: a 5x5 stamp
+      repeats only its center pixel's code and never threatens any
+      declaration (measured: zero flags).
+    - A *dense* repetitive stripe (8x8 tiling, 300 px wide) is the
+      wrong shape for this test: per-code repetition ~230/region is
+      quadratic for the reference's pair enumeration (measured: 410 s,
+      and the window ambiguity shatters the clip into 17 maps), while
+      our side's capacity ladder walks to 16384.  The stamp band keeps
+      both pipelines fast and the map whole."""
+    rng = np.random.default_rng(33)
+    wh, ww = 1000, 2000
+    base = rng.integers(0, 16, size=(wh // 4 + 1, ww // 4 + 1),
+                        dtype=np.uint8)
+    base = np.kron(base, np.ones((4, 4), dtype=np.uint8))[:wh, :ww]
+    detail = rng.integers(0, 16, size=(wh, ww), dtype=np.uint8)
+    world = np.where(rng.random((wh, ww)) < 0.10, detail, base).astype(
+        np.uint8
+    )
+    stamp = rng.integers(0, 16, size=(9, 9), dtype=np.uint8)
+    for y in range(40, wh - 9, 40):
+        for x in range(1000, 1250 - 9, 40):
+            world[y:y + 9, x:x + 9] = stamp
+    rng2 = np.random.default_rng(34)
+    xs = np.linspace(80, 1540, 100).astype(int)
+    path = [(int(x), 300 + (i % 4)) for i, x in enumerate(xs)]
+    return testing.render_clip(
+        world, path, (FH, FW), rng=rng2, hud_rows=24, border=8
+    ).frames
+
+
 def _run_ours(clip_dir) -> list:
     feed = frames_io.RawDirectoryFeed(str(clip_dir), FW, FH)
     cfg = PipelineConfig(screen_width=FW, screen_height=FH)
@@ -158,13 +206,46 @@ def _assert_maps_equal(ref_maps, our_maps, clip_name):
 
 @pytest.mark.parametrize(
     "name,make_clip,expected_maps",
-    [("clipA", _clip_a, 1), ("clipB", _clip_b, 1), ("clipC", _clip_c, 3)],
+    [
+        ("clipA", _clip_a, 1),
+        ("clipB", _clip_b, 1),
+        ("clipC", _clip_c, 3),
+        ("clipD", _clip_d, 1),
+    ],
 )
 def test_ref_e2e_pixel_exact(
     ref_binary, tmp_path, name, make_clip, expected_maps
 ):
     clip_dir = tmp_path / name
-    _write_clip(make_clip(), clip_dir)
+    frames = make_clip()
+    _write_clip(frames, clip_dir)
+
+    if name == "clipD":
+        # prove the clip actually exercises the join-escalation path:
+        # at the settled table capacity (4096 — where the strict
+        # ladder's capacity doublings end on this content) the default
+        # join multiplicity must trip the truncation stability bound on
+        # a MINORITY of pairs, so the strict loop takes the incremental
+        # `repair_pairs` route rather than a full replay
+        from remap_tpu.core.regions import make_layout
+        from remap_tpu.pipeline import collect as collect_mod
+        from remap_tpu.pipeline.state import FrameStore
+
+        dcfg = PipelineConfig(
+            screen_width=FW, screen_height=FH, region_capacity=4096
+        )
+        layout = make_layout(
+            FW, FH, dcfg.grid_width, dcfg.grid_height, dcfg.grid_overlap
+        )
+        _, _, tabf, joinf, _ = collect_mod.match_pass(
+            iter(frames), layout, dcfg, FrameStore(FH, FW)
+        )
+        assert not tabf.any(), "capacity 4096 no longer holds clipD"
+        n_join = int(joinf.sum())
+        assert 0 < n_join <= len(frames) // 2, (
+            f"clipD join flags = {n_join}: the clip no longer drives "
+            f"the incremental join-escalation path"
+        )
 
     ref_out = tmp_path / "refout"
     ref_out.mkdir()
