@@ -70,7 +70,7 @@ def main() -> None:
 
     # warm compiles
     store = FrameStore(fh, fw)
-    off, ok, tabf, joinf, rangef = tight_pass(store)
+    off, ok, tabf, joinf, rangef, _ = tight_pass(store)
     flagged = int((tabf | joinf | rangef).sum())
     print(f"frames={n} flagged_pairs={flagged} "
           f"(tab={int(tabf.sum())} join={int(joinf.sum())} "

@@ -110,13 +110,21 @@ def make_collect_step(layout: GridLayout, cfg: PipelineConfig):
             tab_ovf = jnp.zeros((images.shape[0],), bool)
             join_ovf = jnp.zeros((images.shape[0],), bool)
             range_ovf = jnp.zeros((images.shape[0],), bool)
+        if frame_matcher is None:
+            # true per-frame keypoint maximum over regions (wcounts are
+            # counted over the full region slab, not the kept rows) —
+            # lets the strict loop jump the capacity ladder in ONE step
+            # instead of blind doubling
+            kp_need = tabs.wcounts.sum(axis=-1).max(axis=-1)
+        else:
+            kp_need = jnp.zeros((images.shape[0],), jnp.int32)
         new_carry = (
             jax.tree.map(lambda t: t[-1:], tabs),
             images[-1:],
         )
         return (
             dense.median, offset, ok, tab_ovf, join_ovf, range_ovf,
-            new_carry,
+            kp_need, new_carry,
         )
 
     return step
@@ -138,18 +146,22 @@ def match_pass(
     layout: GridLayout,
     cfg: PipelineConfig,
     store: Optional[FrameStore] = None,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+           int]:
     """Pass 1: per-frame match offsets/flags (and fill the frame store).
 
-    Returns (offsets, matched, table_flags, join_flags, range_flags) —
-    per-frame boolean arrays for three separate escalation signals:
-    table capacity or sort2-quota overflow of frame t's tables (raise
-    capacity / switch table mode), join truncation that could alter the
-    (t-1, t) declaration (raise multiplicity), and the vote-radius
-    exactness bound on that declaration (count exactly with
+    Returns (offsets, matched, table_flags, join_flags, range_flags,
+    kp_need) — per-frame boolean arrays for three separate escalation
+    signals: table capacity or sort2-quota overflow of frame t's tables
+    (raise capacity / switch table mode), join truncation that could
+    alter the (t-1, t) declaration (raise multiplicity), and the
+    vote-radius exactness bound on that declaration (count exactly with
     vote_radius=0).  Keeping them apart — and per frame — lets the
     strict loop escalate only the limit that actually tripped, and only
-    for the pairs it actually flagged."""
+    for the pairs it actually flagged.  ``kp_need`` is the clip's true
+    maximum per-region keypoint count (0 for frame-based matcher
+    families), so a capacity escalation can jump straight to the size
+    that provably holds every table."""
     step = make_collect_step(layout, cfg)
     b = cfg.frame_batch
 
@@ -158,6 +170,7 @@ def match_pass(
     tab_flags: List[np.ndarray] = []
     join_flags: List[np.ndarray] = []
     range_flags: List[np.ndarray] = []
+    kp_need = 0
     carry = (
         _empty_carry(layout, cfg.region_capacity),
         jnp.zeros((1, layout.height, layout.width), jnp.uint8),
@@ -165,13 +178,15 @@ def match_pass(
 
     def drain(p) -> None:
         """Materialize one dispatched step's outputs (blocks on device)."""
+        nonlocal kp_need
         num, n_real, packed, packed_dev, median, off, ok, tovf, jovf, \
-            rovf = p
+            rovf, kpn = p
         offsets.append(np.asarray(off)[:n_real])
         matched.append(np.asarray(ok)[:n_real])
         tab_flags.append(np.asarray(tovf)[:n_real])
         join_flags.append(np.asarray(jovf)[:n_real])
         range_flags.append(np.asarray(rovf)[:n_real])
+        kp_need = max(kp_need, int(np.asarray(kpn)[:n_real].max(initial=0)))
         if store is not None:
             meds = (
                 np.asarray(median)[:n_real] if cfg.store_medians else None
@@ -235,10 +250,12 @@ def match_pass(
             # mirror so pass 2 / foreground never re-upload frames
             packed_dev = jnp.asarray(packed)
             images = _unpack_jit(packed_dev, w_full)
-            median, off, ok, tovf, jovf, rovf, carry = step(images, carry)
+            median, off, ok, tovf, jovf, rovf, kpn, carry = step(
+                images, carry
+            )
             pending.append((
                 number, n_real, packed, packed_dev, median, off, ok, tovf,
-                jovf, rovf,
+                jovf, rovf, kpn,
             ))
             # k-deep dispatch chain: keep up to `depth` batches in flight
             # so the blocking fetch of batch n happens after batch
@@ -254,7 +271,7 @@ def match_pass(
 
     if not offsets:
         z = np.zeros((0,), bool)
-        return np.zeros((0, 2), np.int32), z, z, z, z
+        return np.zeros((0, 2), np.int32), z, z, z, z, 0
     off = np.concatenate(offsets)
     ok = np.concatenate(matched)
     # frame 0 never matches anything (frc.hpp:83-95)
@@ -266,6 +283,7 @@ def match_pass(
         np.concatenate(tab_flags),
         np.concatenate(join_flags),
         np.concatenate(range_flags),
+        kp_need,
     )
 
 
@@ -303,7 +321,14 @@ def make_pair_step(layout: GridLayout, cfg: PipelineConfig):
             vote_radius=cfg.vote_radius,
         )
         tab = tp.overflow.any(axis=-1) | tc.overflow.any(axis=-1)
-        return res.offset, res.ok, tab, res.overflow, res.range_overflow
+        kp_need = jnp.maximum(
+            tp.wcounts.sum(axis=-1).max(axis=-1),
+            tc.wcounts.sum(axis=-1).max(axis=-1),
+        )
+        return (
+            res.offset, res.ok, tab, res.overflow, res.range_overflow,
+            kp_need,
+        )
 
     return pair_step
 
@@ -315,17 +340,19 @@ def repair_pairs(
     cfg: PipelineConfig,
     offsets: np.ndarray,
     matched: np.ndarray,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     """Re-match the pairs (t-1, t) for every t in ``pair_idx`` under
     ``cfg``, writing the new declarations into ``offsets``/``matched``
     in place.  Frames come from the store's HBM mirror when collect ran
     on this device.  Returns per-pair (tab, join, range) flag arrays
-    aligned with ``pair_idx``."""
+    aligned with ``pair_idx`` plus the pairs' true max per-region
+    keypoint count (for count-guided capacity jumps)."""
     step = make_pair_step(layout, cfg)
     b = cfg.frame_batch
     tabs = np.zeros(len(pair_idx), bool)
     joins = np.zeros(len(pair_idx), bool)
     ranges = np.zeros(len(pair_idx), bool)
+    kp_need = 0
     for i in range(0, len(pair_idx), b):
         chunk = list(pair_idx[i : i + b])
         n_real = len(chunk)
@@ -336,7 +363,7 @@ def repair_pairs(
         curr_imgs = _unpack_jit(
             store.device_packed_batch(pad), store.width
         )
-        off, ok, tab, jov, rov = step(prev_imgs, curr_imgs)
+        off, ok, tab, jov, rov, kpn = step(prev_imgs, curr_imgs)
         off = np.asarray(off)[:n_real]
         ok = np.asarray(ok)[:n_real]
         for k, t in enumerate(chunk):
@@ -345,7 +372,10 @@ def repair_pairs(
         tabs[i : i + n_real] = np.asarray(tab)[:n_real]
         joins[i : i + n_real] = np.asarray(jov)[:n_real]
         ranges[i : i + n_real] = np.asarray(rov)[:n_real]
-    return tabs, joins, ranges
+        kp_need = max(
+            kp_need, int(np.asarray(kpn)[:n_real].max(initial=0))
+        )
+    return tabs, joins, ranges, kp_need
 
 
 def segment_positions(
@@ -471,9 +501,11 @@ def collect(
     """Full collect stage: returns normalized fragments (frc.hpp:74-80).
 
     With ``strict`` (default), a pass that hits table-capacity or
-    join-multiplicity overflow re-runs with doubled limits until the
+    join-multiplicity overflow re-runs with escalated limits until the
     results are provably exhaustive (fast defaults, guaranteed-exact
-    results)."""
+    results).  Capacity escalation jumps straight to the measured
+    keypoint maximum; join escalation walks multiplicity 4x then dense;
+    only flagged pairs re-match when they are a minority."""
     if hasattr(frames, "read_packed_batch"):
         if len(frames) == 0:
             return CollectResult([], FrameStore(0, 0),
@@ -501,7 +533,7 @@ def collect(
         )
     store = FrameStore(h, w)
 
-    offsets, matched, tabf, joinf, rangef = match_pass(
+    offsets, matched, tabf, joinf, rangef, kp_need = match_pass(
         source, layout, cfg, store
     )
 
@@ -535,9 +567,17 @@ def collect(
             elif ecfg.region_capacity >= 1 << 14:
                 break  # give up: caller sees overflow_frames > 0
             else:
+                # count-guided jump: the pass already measured the true
+                # max per-region keypoint count, so go straight to the
+                # power of two that provably holds every table (blind
+                # doubling paid one full replay per level — 3 extra
+                # replays on busy 4k-keypoint content)
+                new_cap = max(ecfg.region_capacity * 2, 256)
+                while new_cap < min(kp_need, 1 << 14):
+                    new_cap *= 2
                 ecfg = dataclasses.replace(
                     ecfg,
-                    region_capacity=ecfg.region_capacity * 2,
+                    region_capacity=min(new_cap, 1 << 14),
                     vote_radius=0,
                 )
         elif pjoin.any():
@@ -577,7 +617,7 @@ def collect(
             # majority flagged: a full replay extracts each frame once
             # where pair repair extracts both endpoints per pair
             replay = (store.image(i) for i in range(len(store)))
-            offsets, matched, tabf, joinf, rangef = match_pass(
+            offsets, matched, tabf, joinf, rangef, kp_need = match_pass(
                 replay, layout, ecfg, None
             )
             ptab = tabf.copy()
@@ -585,7 +625,7 @@ def collect(
             ptab[0] = joinf[0] = rangef[0] = False
             pjoin, prange = joinf, rangef
         else:
-            rtab, rjoin, rrange = repair_pairs(
+            rtab, rjoin, rrange, kp_need = repair_pairs(
                 pairs, store, layout, ecfg, offsets, matched
             )
             ptab[:] = pjoin[:] = prange[:] = False

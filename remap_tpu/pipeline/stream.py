@@ -56,6 +56,8 @@ class StreamingStitcher:
         #: possible with cfg.vote_radius > 0); join limits held, so a
         #: re-run with vote_radius=0 alone recovers exact offsets
         self.range_overflow_frames = 0
+        #: running max per-region keypoint count (capacity re-run hint)
+        self.needed_capacity = 0
 
     def push(self, batch: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Process one [B, H, W] uint8 batch (B = cfg.frame_batch, except
@@ -66,8 +68,14 @@ class StreamingStitcher:
             batch = np.concatenate(
                 [batch, np.repeat(batch[-1:], b - n_real, axis=0)]
             )
-        median, off, ok, tovf, jovf, rovf, self._carry = self._step(
+        median, off, ok, tovf, jovf, rovf, kpn, self._carry = self._step(
             jnp.asarray(batch), self._carry
+        )
+        # true max per-region keypoint count seen so far: consumers that
+        # hit table overflow can re-run at exactly this capacity
+        self.needed_capacity = max(
+            self.needed_capacity,
+            int(np.asarray(kpn)[:n_real].max(initial=0)),
         )
         off = np.asarray(off)[:n_real].copy()
         ok = np.asarray(ok)[:n_real].copy()

@@ -237,7 +237,7 @@ def test_ref_e2e_pixel_exact(
         layout = make_layout(
             FW, FH, dcfg.grid_width, dcfg.grid_height, dcfg.grid_overlap
         )
-        _, _, tabf, joinf, _ = collect_mod.match_pass(
+        _, _, tabf, joinf, _, _ = collect_mod.match_pass(
             iter(frames), layout, dcfg, FrameStore(FH, FW)
         )
         assert not tabf.any(), "capacity 4096 no longer holds clipD"

@@ -284,3 +284,47 @@ def test_device_mirror_gather_matches_host():
     assert store2._dev_parts is None
     got = np.asarray(store2.device_packed_batch([3]))
     np.testing.assert_array_equal(got, packed[[3]])
+
+
+def test_capacity_escalation_jumps_to_measured_count(monkeypatch):
+    """On dense content the strict loop must reach a sufficient table
+    capacity in ONE retry — the pass measures the true per-region
+    keypoint maximum (tables.wcounts is counted over the full slab), so
+    blind doubling's one-replay-per-level walk is provably redundant."""
+    import dataclasses as _dc
+
+    rng = np.random.default_rng(77)
+    # busy noise: nearly every pixel is a keypoint => kp/region far
+    # above a deliberately tiny starting capacity
+    world = rng.integers(0, 16, size=(180, 240), dtype=np.uint8)
+    path = [(20 + 2 * i, 30 + (i % 3)) for i in range(8)]
+    frames = [world[y : y + 64, x : x + 96] for x, y in path]
+
+    calls = []
+    real = jcollect.match_pass
+
+    def counting(frames_, layout_, cfg_, store_=None):
+        calls.append(cfg_.region_capacity)
+        return real(frames_, layout_, cfg_, store_)
+
+    monkeypatch.setattr(jcollect, "match_pass", counting)
+
+    tiny = _dc.replace(CFG, region_capacity=128, frame_batch=8)
+    res = jcollect.collect(frames, tiny)
+    assert res.overflow_frames == 0
+
+    # pass 1 at 128 + exactly one capacity retry (jumped straight to a
+    # power of two that holds the measured max; doubling would have
+    # walked 256, 512, ... one full pass each)
+    cap_passes = [c for c in calls if c != 128] or []
+    assert calls[0] == 128
+    assert len(calls) == 2, f"capacity ladder walked: {calls}"
+    assert cap_passes and cap_passes[0] >= 1024, calls
+
+    ref = jcollect.collect(
+        frames, _dc.replace(CFG, region_capacity=8192, frame_batch=8)
+    )
+    np.testing.assert_array_equal(res.offsets, ref.offsets)
+    np.testing.assert_array_equal(res.matched, ref.matched)
+    for a, b in zip(res.fragments, ref.fragments):
+        np.testing.assert_array_equal(a.dots, b.dots)
