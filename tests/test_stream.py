@@ -31,3 +31,30 @@ def test_streaming_matches_collect():
         assert [(r.number, r.position) for r in a.frames] == [
             (r.number, r.position) for r in b.frames
         ]
+
+
+def test_streaming_reports_needed_capacity():
+    """needed_capacity tracks the true per-region keypoint maximum: when
+    tables overflow, re-running at exactly that size must clear the
+    table flags (the capacity re-run hint for streaming consumers)."""
+    import dataclasses
+
+    clip = testing.simple_clip(n_frames=10, frame_hw=(64, 96), seed=5)
+
+    tiny = dataclasses.replace(CFG, region_capacity=128)
+    st = StreamingStitcher(tiny)
+    for i in range(0, 10, 5):
+        st.push(np.stack(clip.frames[i : i + 5]))
+    assert st.overflow_frames > 0          # 128 cannot hold this content
+    need = st.needed_capacity
+    assert need > 128
+
+    # pow2-rounded re-run at the reported size: table flags must clear
+    cap = 1 << (need - 1).bit_length()
+    st2 = StreamingStitcher(dataclasses.replace(CFG, region_capacity=cap))
+    for i in range(0, 10, 5):
+        st2.push(np.stack(clip.frames[i : i + 5]))
+    assert st2.needed_capacity == need     # content measure, not config
+    res = jcollect.collect(clip.frames, dataclasses.replace(
+        CFG, region_capacity=cap))
+    assert res.overflow_frames == 0
