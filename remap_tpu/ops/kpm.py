@@ -99,12 +99,22 @@ def _join_rolled(
 
     Exact as long as each curr entry's backward distance to its run start
     is <= max_run and no code repeats more than ``multiplicity`` times in
-    prev.  The number of equal-code pairs the enumeration *misses* is
-    returned exactly (``n_missed = sum over curr rows of the run's prev
-    count, minus the pairs enumerated``) so callers can bound whether the
-    truncation could possibly change a vote decision.
+    prev.  Two truncation measures are returned exactly:
 
-    Returns (dx [2K, S], dy [2K, S], pair_valid [2K, S], n_missed []).
+    - ``n_missed``: total equal-code pairs the enumeration missed (sum
+      over curr rows of the run's prev count, minus the pairs
+      enumerated) — the raw diagnostic.
+    - ``rows_missed``: the number of curr rows with at least one missed
+      partner.  Table rows are distinct pixels, so for any single offset
+      (dx, dy) a curr row at position p has at most ONE equal-code
+      partner (the prev row at p + offset) — enumerated or not.  The
+      vote count any single offset could gain from the missed mass is
+      therefore bounded by ``rows_missed``, not ``n_missed`` — a bound
+      up to (repeats - multiplicity)x tighter on repetitive content,
+      which is exactly where truncation happens.
+
+    Returns (dx [2K, S], dy [2K, S], pair_valid [2K, S], n_missed [],
+    rows_missed [], curr_x [2K], curr_y [2K]).
     """
     k = p_codes.shape[0]
     n = 2 * k
@@ -181,9 +191,13 @@ def _join_rolled(
     dy = jnp.stack(dys, axis=1)
     pair = jnp.stack(valids, axis=1)
     n_missed = total_true - jnp.sum(pair, dtype=jnp.int32)
+    enum_row = jnp.sum(pair, axis=1, dtype=jnp.int32)        # [2K]
+    rows_missed = jnp.sum(
+        is_curr & (n_prev > enum_row), dtype=jnp.int32
+    )
     # spx/spy are each sorted row's own (curr-side) coordinates; a pair's
     # prev-side coordinate is spx + dx (used by the cellular matcher).
-    return dx, dy, pair, n_missed, spx, spy
+    return dx, dy, pair, n_missed, rows_missed, spx, spy
 
 
 def _join_dense(
@@ -204,7 +218,7 @@ def _join_dense(
     # curr-major convention (irrelevant to vote counting)
     return (
         dx.T, dy.T, pair.T, jnp.zeros((), jnp.int32),
-        c_pos[:, 0], c_pos[:, 1],
+        jnp.zeros((), jnp.int32), c_pos[:, 0], c_pos[:, 1],
     )
 
 
@@ -222,11 +236,15 @@ def _region_votes(
     Borda swing bound, join-involved flag).
 
     Truncation is reported as a *bounded uncertainty*, not a hard flag:
-    the join counts exactly how many equal-code pairs it missed
-    (``n_missed``), the histogram how many in-join votes fell outside
-    the radius (``n_out``).  Unknown votes land on unknown offsets, so
-    the worst they can do is hand ``u = n_missed + n_out`` extra votes
-    to one offset.  Comparing ``u`` against the adjacent count gaps of
+    the join counts exactly how many curr rows have a missed equal-code
+    partner (``rows_missed``), the histogram how many rows have an
+    in-join vote outside the radius (``rows_out``).  Region rows are
+    distinct pixels, so a single offset pairs each curr row with at most
+    one prev position — any ONE offset can gain at most one unknown vote
+    per affected row, i.e. ``u = rows_missed + rows_out`` (the total
+    missed-PAIR count would be sound too, but up to repeats-minus-
+    multiplicity times looser exactly on the repetitive content where
+    truncation happens).  Comparing ``u`` against the adjacent count gaps of
     the top ``region_votes + 1`` visible offsets bounds how deep into
     the ticket the unknown mass could reach: if ``u`` is below the gap
     above rank k+1, ranks 1..k are provably fixed (a boosted lower
@@ -246,14 +264,14 @@ def _region_votes(
     c_sel = c_valid & (use_all_weights | (c_weight == 2))  # kpm.hpp:113-116
 
     if multiplicity == 0:  # exhaustive dense join (no limits)
-        dx, dy, pair, n_missed = _join_dense(
+        dx, dy, pair, n_missed, rows_missed = _join_dense(
             p_codes, p_pos, p_valid, c_codes, c_pos, c_sel
-        )[:4]
+        )[:5]
     else:
-        dx, dy, pair, n_missed = _join_rolled(
+        dx, dy, pair, n_missed, rows_missed = _join_rolled(
             p_codes, p_pos, p_valid, c_codes, c_pos, c_sel,
             multiplicity, max_run=2 * multiplicity,
-        )[:4]
+        )[:5]
 
     def swing_bound(counts_ext, unknown):
         # counts_ext: top region_votes+1 counts, descending.  gaps[k] is
@@ -278,7 +296,10 @@ def _region_votes(
         r = vote_radius
         nb = 2 * r + 1
         in_range = pair & (jnp.abs(dx) <= r) & (jnp.abs(dy) <= r)
-        n_out = jnp.sum(pair & ~in_range, dtype=jnp.int32)
+        # rows (not pairs): one offset gains at most one vote per row
+        rows_out = jnp.sum(
+            (pair & ~in_range).any(axis=1), dtype=jnp.int32
+        )
         iotab = jnp.arange(nb, dtype=jnp.int32)
 
         # Bound the one-hot working set without serializing: flatten the
@@ -342,10 +363,10 @@ def _region_votes(
             pick_bin, counts, None, length=region_votes + 1
         )
         # join truncation and out-of-radius votes pool into one unknown
-        # mass; the join-involved flag attributes a later declare-level
-        # flag to the join (multiplicity escalation) vs the radius alone
-        # (cheap vote_radius=0 retry)
-        swing = swing_bound(top_counts, n_missed + n_out)
+        # mass (per-row bounds); the join-involved flag attributes a
+        # later declare-level flag to the join (multiplicity escalation)
+        # vs the radius alone (cheap vote_radius=0 retry)
+        swing = swing_bound(top_counts, rows_missed + rows_out)
         return (
             top_keys[:region_votes], top_counts[:region_votes],
             swing, n_missed > 0,
@@ -368,7 +389,7 @@ def _region_votes(
     _, (top_keys, top_counts) = jax.lax.scan(
         pick, counts, None, length=region_votes + 1
     )
-    swing = swing_bound(top_counts, n_missed)
+    swing = swing_bound(top_counts, rows_missed)
     return (
         top_keys[:region_votes], top_counts[:region_votes],
         swing, n_missed > 0,

@@ -51,11 +51,11 @@ def match_fragments(
     hb, wb = p_mask.shape
 
     if multiplicity == 0:  # exhaustive dense join
-        dx, dy, pair, n_missed, scx, scy = _join_dense(
+        dx, dy, pair, n_missed, _rm, scx, scy = _join_dense(
             p_codes, p_pos, p_valid, c_codes, c_pos, c_valid
         )
     else:
-        dx, dy, pair, n_missed, scx, scy = _join_rolled(
+        dx, dy, pair, n_missed, _rm, scx, scy = _join_rolled(
             p_codes, p_pos, p_valid, c_codes, c_pos, c_valid,
             multiplicity, max_run=2 * multiplicity,
         )

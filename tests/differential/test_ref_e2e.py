@@ -121,17 +121,18 @@ def _clip_c():
 
 
 def _clip_d():
-    """Join-escalation content: a band of identical 9x9 "stamps" (period
-    40 px) over an otherwise distinctive world.  Each stamp contributes
-    (9-4)^2 = 25 keypoints whose 5x5 code patch lies fully inside the
-    stamp, so every one of those codes repeats once per stamp — ~12x per
-    region inside the band, trampling the default join multiplicity
-    (4).  The camera crosses the band mid-clip: a *minority* of pairs
-    trip the join-truncation stability bound, which drives the round-3
-    incremental repair path (`collect.repair_pairs`: re-match only the
-    flagged pairs at multiplicity 16, where the rolled join is provably
-    exhaustive for <=16 repeats) — against the reference binary's
-    unbounded hash joins (kpm.hpp:92-170), which are always exact.
+    """Join-escalation content: a band of identical 13x13 "stamps"
+    (period 40 px) over an otherwise distinctive world.  Each stamp
+    contributes (13-4)^2 = 81 keypoints whose 5x5 code patch lies fully
+    inside the stamp, so every one of those codes repeats once per stamp
+    — ~12x per region inside the band, trampling the default join
+    multiplicity (4).  The camera crosses the band mid-clip: a
+    *minority* of pairs trip the join-truncation stability bound, which
+    drives the round-3 incremental repair path (`collect.repair_pairs`:
+    re-match only the flagged pairs at multiplicity 16, where the rolled
+    join is provably exhaustive for <=16 repeats) — against the
+    reference binary's unbounded hash joins (kpm.hpp:92-170), which are
+    always exact.
 
     Tuning notes (all measured against the compiled reference):
     - The world noise is thinned (0.10 vs make_world's 0.25) so the
@@ -156,10 +157,10 @@ def _clip_d():
     world = np.where(rng.random((wh, ww)) < 0.10, detail, base).astype(
         np.uint8
     )
-    stamp = rng.integers(0, 16, size=(9, 9), dtype=np.uint8)
-    for y in range(40, wh - 9, 40):
-        for x in range(1000, 1250 - 9, 40):
-            world[y:y + 9, x:x + 9] = stamp
+    stamp = rng.integers(0, 16, size=(13, 13), dtype=np.uint8)
+    for y in range(40, wh - 13, 40):
+        for x in range(1000, 1250 - 13, 40):
+            world[y:y + 13, x:x + 13] = stamp
     rng2 = np.random.default_rng(34)
     xs = np.linspace(80, 1540, 100).astype(int)
     path = [(int(x), 300 + (i % 4)) for i, x in enumerate(xs)]

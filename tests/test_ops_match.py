@@ -315,3 +315,37 @@ def test_join_decision_bound_flags_tight_race():
                                   multiplicity=0)
     assert not bool(np.asarray(dense.overflow).any())
     assert tuple(int(v) for v in np.asarray(dense.offset)[0]) == (3, 2)
+
+
+def test_join_bound_is_per_row_not_per_pair():
+    """One code repeated 12x (scattered prev positions) against 40
+    unique true-offset votes at multiplicity 2: the enumeration misses
+    ~100+ PAIRS, but distinct pixels mean any single offset can gain at
+    most one vote per affected ROW (12) — far under the 40-vote winner
+    gap, so the declaration is provably stable: no flag, and the result
+    must equal the dense join.  (The older per-pair bound counted the
+    missed mass as ~120 unknown votes to one offset and escalated this
+    exact shape.)"""
+    layout = make_layout(96, 64, 4, 2, 16)
+    prev, curr = _hand_tables(layout, n_unique=40, n_rep=12)
+
+    small = jkpm.match_tables_jit(prev, curr, layout, weight_switch=10,
+                                  multiplicity=2)
+    dense = jkpm.match_tables_jit(prev, curr, layout, weight_switch=10,
+                                  multiplicity=0)
+
+    # the truncation is real and heavy in PAIR terms...
+    out = jkpm._join_rolled(
+        prev.codes[0, 0], prev.pos[0, 0], prev.valid[0, 0],
+        curr.codes[0, 0], curr.pos[0, 0], curr.valid[0, 0],
+        2, max_run=4,
+    )
+    assert int(out[3]) >= 40        # missed pairs
+    assert int(out[4]) == 12        # affected rows
+
+    # ...but provably harmless in ROW terms
+    assert not bool(np.asarray(small.overflow).any())
+    assert not bool(np.asarray(small.range_overflow).any())
+    assert bool(np.asarray(small.ok)[0]) and bool(np.asarray(dense.ok)[0])
+    np.testing.assert_array_equal(np.asarray(small.offset),
+                                  np.asarray(dense.offset))
