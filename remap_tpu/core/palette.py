@@ -4,8 +4,21 @@ The pipeline operates on "native" 4-bit palette indices.  Median filtering
 needs a *total order by luminance*, so native codes are remapped to "ordered
 values" (rank by intensity) before histogramming, and back after
 (cpl.hpp:163-226).  RGB output uses the hardcoded 16-entry C64 palette
-(cpl.hpp:77-92); intensity is the Rec.601 luma of the sRGB bytes
-(cpl.hpp:116-120).
+(cpl.hpp:77-92).
+
+**Channel-swap quirk** (found by the randomized compiled-reference fuzz,
+round 3): the reference's ordering intensity is ``0.3*B + 0.59*G +
+0.11*R`` — luma-like coefficients applied to *swapped* channels.  Its
+``blend_to_pack`` returns the blend word's bytes positionally as
+``(byte0, byte1, byte2)`` = (blue, green, red) (cpl.hpp:99-102 with the
+``blue | green<<8 | red<<16`` layout of cpl.hpp:109-114), and
+``pack_to_intensity`` then binds them to parameters named ``(red, green,
+blue)`` (cpl.hpp:116-120) — so red receives the blue byte and vice
+versa.  The resulting rank table was extracted from the compiled binary
+and is reproduced here exactly; it shifts 10 of the 16 C64 ranks vs the
+unswapped order and changes ~3.5%% of median pixels on busy content
+(which is how the fuzz caught it — the medians feed fde's foreground
+contours).
 
 All tables are tiny (16 entries) and exposed both as NumPy arrays (host/spec
 code) and as constants ready to be captured by jitted functions.
@@ -38,12 +51,15 @@ NATIVE_TO_RGB = np.stack(
 
 
 def _intensity(rgb: np.ndarray) -> np.ndarray:
-    """Rec.601 luma in [0,1], float32 — matches cpl.hpp:116-120 exactly."""
+    """The reference's ordering intensity in [0,1], float32: ``0.3*B +
+    0.59*G + 0.11*R`` — luma coefficients over *channel-swapped* bytes
+    (cpl.hpp:99-120, see the module docstring; verified against the
+    table extracted from the compiled binary)."""
     r = rgb[:, 0].astype(np.float32)
     g = rgb[:, 1].astype(np.float32)
     b = rgb[:, 2].astype(np.float32)
     return (
-        np.float32(0.3) * r + np.float32(0.59) * g + np.float32(0.11) * b
+        np.float32(0.3) * b + np.float32(0.59) * g + np.float32(0.11) * r
     ) / np.float32(255.0)
 
 

@@ -95,27 +95,31 @@ def heatmap(
 
 
 def gauss_kernel_np(dev: float) -> np.ndarray:
-    size = int(math.ceil(6.0 * dev)) | 1
-    half = size // 2
-    d = np.float32(2.0 * dev * dev)
-    a = np.float32(1.0) / (np.float32(math.pi) * d)
-    ys = (np.arange(size, dtype=np.float32) - np.float32(half))[:, None]
-    xs = (np.arange(size, dtype=np.float32) - np.float32(half))[None, :]
-    return (a * np.exp(-(ys * ys + xs * xs) / d)).astype(np.float32)
+    """The reference's f32 kernel, bit-exact (single definition:
+    spec.arf.gauss_kernel — powf emulation, see its docstring)."""
+    from remap_tpu.spec import arf as spec_arf
+
+    return spec_arf.gauss_kernel(dev)
 
 
 class SelectResult(NamedTuple):
     image: jax.Array     # [H, W] uint8 picked colors
     #: [H, W] bool — rare-path pixels whose top-2 blurred scores are too
-    #: close for f32 to provably decide the canonical (f64) argmax; the
-    #: host re-selects exactly via :func:`canonical_rare_picks`.
+    #: close for the separable f32 blur to provably decide the canonical
+    #: argmax (the reference binary's exact f32 blur); the host
+    #: re-selects exactly via :func:`canonical_rare_picks`.
     unstable: jax.Array
 
 
-#: Provable bound on the f32 separable blur's relative error vs the f64
-#: canonical evaluation of the SAME nesting: <= 13 products + 12 adds per
-#: axis of nonnegative terms -> ~27 ulp ~ 1.6e-6; 1e-5 leaves a 6x margin
-#: (FMA fusion only shrinks the true error).
+#: Provable bound on the device f32 separable blur's relative error vs
+#: the CANONICAL routine (spec.arf.rare_picks: the reference binary's
+#: f32 direct convolution, exact order).  Both evaluate nonnegative
+#: sums of the same real window x kernel products, so they differ by
+#: (a) f32 rounding/reassociation: <= ~27 ulp per formulation, and
+#: (b) the separable factor's quantization vs the true f32 kernel
+#: entries (g[dy]*g[dx] != kernel[dy,dx] by <= ~3 ulp relative).
+#: Total < ~60 ulp ~ 7e-6 of the top score; 1e-5 covers it (FMA fusion
+#: only shrinks the device-side error).
 _BLUR_REL_ERR = 1e-5
 
 
@@ -139,9 +143,10 @@ def select(
     """Conditional Gaussian-vote color selection (arf.hpp:255-307).
 
     Decision-stability contract: every pixel whose pick could differ from
-    the canonical f64 evaluation (remap_tpu.spec.arf.select) is flagged
-    ``unstable``; all unflagged picks provably equal the canonical ones,
-    so ``pick + host rescore of flagged`` is bit-exact on every backend.
+    the canonical evaluation (remap_tpu.spec.arf.select — the reference
+    binary's exact f32 blur) is flagged ``unstable``; all unflagged picks
+    provably equal the canonical ones, so ``pick + host rescore of
+    flagged`` is bit-exact on every backend.
     """
     h, w, depth = dots.shape
     g1d = _g1d(dev)
@@ -155,13 +160,17 @@ def select(
     # backend — found the hard way; shifted adds are backend-proof and
     # equally fast for a 13-tap kernel.)  Rolled wraparound only corrupts
     # the margin ring, which is excluded from the processed region below.
+    # Truncated-window quirk (arf.hpp:282-287, see spec.arf.rare_picks):
+    # the reference's blur row loop admits only 2*margin rows — the
+    # bottom kernel row (dy = +margin) is never accumulated — so the
+    # vertical pass here sums dy in [-margin, margin) only.
     rowpass = sum(
         jnp.float32(g1d[margin + t]) * jnp.roll(dots_f, -t, axis=1)
         for t in range(-margin, margin + 1)
     )
     conv = sum(
         jnp.float32(g1d[margin + t]) * jnp.roll(rowpass, -t, axis=0)
-        for t in range(-margin, margin + 1)
+        for t in range(-margin, margin)
     )                                                  # [H, W, 16]
 
     present = dots > 0
@@ -207,9 +216,10 @@ def canonical_rare_picks(
 ) -> np.ndarray:
     """Canonical rare-path color picks for the given interior pixels —
     the exact oracle the device's stability bound certifies against.
-    Delegates to spec.arf.rare_picks so a SINGLE f64 routine (same op,
-    same summation order) defines the semantics everywhere.  Cheap: only
-    knife-edge pixels ever need it."""
+    Delegates to spec.arf.rare_picks so a SINGLE routine (the reference
+    binary's f32 blur, exact kernel bits and summation order) defines
+    the semantics everywhere.  Cheap: only knife-edge pixels ever need
+    it."""
     from remap_tpu.spec import arf as spec_arf
 
     return spec_arf.rare_picks(dots, ys, xs, dev)

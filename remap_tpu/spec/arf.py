@@ -77,19 +77,31 @@ def combine(h: np.ndarray, v: np.ndarray) -> np.ndarray:
 
 
 def gauss_kernel(dev: float) -> np.ndarray:
-    """size = ceil(6*dev)|1; unnormalised Gaussian (arf.hpp:231-253)."""
+    """size = ceil(6*dev)|1; unnormalised Gaussian (arf.hpp:231-253).
+
+    The reference computes each weight as ``a * powf(e_f32, -(dy*dy +
+    dx*dx) / d)`` in float32, where ``e_f32`` is the float32 rounding of
+    e (std::numbers::e_v<float>) — NOT ``expf``.  Emulated bit-exactly
+    by a correctly-rounded float64 pow of the same f32 operands, rounded
+    to f32, then the f32 multiply by ``a`` (verified weight-for-weight
+    against the compiled reference binary's kernel, round 3)."""
     size = int(math.ceil(6.0 * dev)) | 1
     half = size // 2
     d = np.float32(2.0 * dev * dev)
     a = np.float32(1.0) / (np.float32(math.pi) * d)
+    e32 = np.float32(math.e)
     ys = (np.arange(size, dtype=np.float32) - np.float32(half))[:, None]
     xs = (np.arange(size, dtype=np.float32) - np.float32(half))[None, :]
-    return (a * np.exp(-(ys * ys + xs * xs) / d)).astype(np.float32)
+    expo = (-(ys * ys + xs * xs) / d).astype(np.float32)
+    p = np.power(np.float64(e32), expo.astype(np.float64)).astype(np.float32)
+    return (a * p).astype(np.float32)
 
 
 def gauss_1d(dev: float) -> np.ndarray:
     """Separable 1-D factor g with g[dy]*g[dx] == gauss_kernel(dev)[dy,dx]
-    in real arithmetic (float32 weights — the canonical quantization)."""
+    in real arithmetic (float32 weights; the f32 kernel entries differ
+    from the outer product by a few ulp — the device's stability bound
+    covers that gap, see ops.arf)."""
     kernel = gauss_kernel(dev)
     margin = kernel.shape[0] // 2
     return (kernel[margin, :] / np.sqrt(kernel[margin, margin])).astype(
@@ -100,28 +112,44 @@ def gauss_1d(dev: float) -> np.ndarray:
 def rare_picks(
     dots: np.ndarray, ys: np.ndarray, xs: np.ndarray, dev: float
 ) -> np.ndarray:
-    """THE canonical rare-path selection for interior pixels (ys, xs).
+    """THE canonical rare-path selection for interior pixels (ys, xs) —
+    the reference binary's blur, replicated bit-exactly.
 
-    float64 evaluation of the separable blur — contract dx then dy with
-    the float32 1-D weights via np.tensordot on the batched [K, S, S,
-    16] window stack.  This exact routine (same op, same order) is what
-    the device's stability bound certifies against and what the host
-    re-selection runs (ops.arf.canonical_rare_picks delegates here), so
-    there is a single f64 summation order in existence."""
-    g = gauss_1d(dev).astype(np.float64)
-    margin = g.shape[0] // 2
+    **Truncated-window quirk** (found by the round-3 fuzz e2e
+    differential): the reference's blur row loop runs ``inner`` from
+    ``outer - vstride - margin`` while ``inner < outer + vstride -
+    margin`` stepping a row each time (arf.hpp:282-287) — that bound
+    admits only ``2*margin`` rows, so the window is size x (size-1):
+    the BOTTOM kernel row (dy = +margin) is never accumulated, and the
+    kernel's last row of weights goes unused.
+
+    Arithmetic: float32 products/accumulations in the reference's exact
+    order (kernel row-major, colors innermost => per-color sequential
+    sum over window positions), restricted to colors present at the
+    center; first-max argmax (std::max_element).  Vectorized over the
+    pixel axis only, which preserves each pixel's summation order.
+    This exact routine is what the device's stability bound certifies
+    against and what the host re-selection runs
+    (ops.arf.canonical_rare_picks delegates here)."""
+    kernel = gauss_kernel(dev)
+    size = kernel.shape[0]
+    margin = size // 2
     ys = np.asarray(ys)
     xs = np.asarray(xs)
     if len(ys) == 0:
         return np.empty(0, np.uint8)
-    dy = np.arange(-margin, margin + 1)
+    dy = np.arange(-margin, margin)          # size-1 rows: bottom dropped
+    dx = np.arange(-margin, margin + 1)
     wy = (ys[:, None] + dy)[:, :, None]
-    wx = (xs[:, None] + dy)[:, None, :]
-    win = dots.astype(np.float64)[wy, wx]             # [K, S, S, 16]
-    rowp = np.tensordot(win, g, axes=(2, 0))          # over dx -> [K, S, 16]
-    score = np.tensordot(rowp, g, axes=(1, 0))        # over dy -> [K, 16]
-    score = np.where(dots[ys, xs] > 0, score, 0.0)
-    return score.argmax(axis=1).astype(np.uint8)
+    wx = (xs[:, None] + dx)[:, None, :]
+    win = dots[wy, wx].astype(np.float32)    # [K, S-1, S, 16]
+    present = dots[ys, xs] > 0               # [K, 16]
+    temp = np.zeros((len(ys), 16), np.float32)
+    for r in range(size - 1):
+        for c in range(size):
+            temp += win[:, r, c, :] * kernel[r, c]
+    temp = np.where(present, temp, np.float32(0.0))
+    return temp.argmax(axis=1).astype(np.uint8)
 
 
 def select(
@@ -132,14 +160,18 @@ def select(
 ) -> np.ndarray:
     """Conditional Gaussian-vote color selection (arf.hpp:255-307).
 
-    CANONICAL rare-path arithmetic: :func:`rare_picks` (float64
-    separable blur) — the single definition every backend reproduces
-    bit-exactly (the device computes it in f32 and defers provably-
-    undecidable knife-edge pixels to the same routine,
-    ops.arf.canonical_rare_picks).  The reference's own float path is
-    internally inconsistent (rsqrt-approx vs exact sqrt,
-    arf.hpp:203-209), so exact-sqrt + f64-canonical-blur is this spec's
-    documented resolution (PARITY.md)."""
+    CANONICAL rare-path arithmetic: :func:`rare_picks` — the reference
+    binary's f32 truncated-window blur replicated bit-exactly (kernel
+    bits, summation order, size x (size-1) window; see its docstring) —
+    the single definition every backend reproduces (the device computes
+    a separable f32 variant and defers provably-undecidable knife-edge
+    pixels to this routine, ops.arf.canonical_rare_picks).  The heat
+    gate stays on the exact-sqrt path: the reference's own heat mixes
+    rsqrt-approx SIMD lanes with exact-sqrt scalar tails
+    (arf.hpp:203-209), but both sides of that inconsistency make the
+    identical >0.25 decisions for every integer count sum (the gate is
+    h+v < 32; measured rsqrt(16) = 0.24994 < 0.25 on this hardware), so
+    exact sqrt is decision-equivalent, not a divergence."""
     size = gauss_1d(dev).shape[0]
     margin = size // 2
 

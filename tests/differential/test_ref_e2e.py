@@ -46,12 +46,6 @@ pytestmark = pytest.mark.skipif(
 FW, FH = 388, 312     # the reference's fixed screen (main.cpp:199)
 
 
-@pytest.fixture(scope="session")
-def ref_binary(tmp_path_factory):
-    out = tmp_path_factory.mktemp("refbin")
-    return ref_full.build_reference(out)
-
-
 def _write_clip(frames, directory) -> None:
     directory.mkdir(exist_ok=True)
     for i, f in enumerate(frames):

@@ -43,12 +43,6 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-@pytest.fixture(scope="session")
-def ref_binary(tmp_path_factory):
-    out = tmp_path_factory.mktemp("refbin_fuzz")
-    return ref_full.build_reference(out)
-
-
 def make_fuzz_clip(seed: int):
     """Sample one random clip; returns (frames, param-summary str)."""
     rng = np.random.default_rng(1_000_003 * (seed + 1))

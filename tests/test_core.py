@@ -18,10 +18,17 @@ def test_palette_no_intensity_ties():
 
 
 def test_palette_known_order():
-    # Hand-computed Rec.601 intensities of the C64 palette (cpl.hpp:77-92):
-    # black darkest, then blue(6), brown(9), dark-gray(11), red(2), ...
-    expected = [0, 6, 9, 11, 2, 8, 4, 14, 12, 10, 5, 15, 3, 13, 7, 1]
+    # The COMPILED REFERENCE's ordering, extracted from the binary by the
+    # round-3 fuzz differential: intensity = 0.3*B + 0.59*G + 0.11*R —
+    # the reference's blend_to_pack hands (blue, green, red) positionally
+    # to pack_to_intensity(red, green, blue) (cpl.hpp:99-120), silently
+    # swapping channels.  The unswapped Rec.601-style order differs at
+    # 10 of 16 ranks (e.g. blue(6) ranks 3rd here, not 1st after black).
+    expected = [0, 9, 2, 6, 11, 8, 4, 10, 12, 5, 14, 15, 3, 7, 13, 1]
     assert palette.ORDERED_TO_NATIVE.tolist() == expected
+    assert palette.NATIVE_TO_ORDERED.tolist() == [
+        0, 15, 2, 12, 6, 9, 3, 13, 5, 1, 7, 4, 8, 14, 10, 11,
+    ]
 
 
 def test_rgb_roundtrip():
