@@ -161,3 +161,52 @@ def test_arf_preserves_clean_map():
     core = out[margin : h - margin, margin : w - margin - 1]
     exp = image[margin : h - margin, margin : w - margin - 1]
     np.testing.assert_array_equal(core, exp)
+
+
+def test_arf_gauss_kernel_binary_bits():
+    """Pin the reference binary's kernel bits (round-3 fuzz finding):
+    a*powf(e_f32, -(dy^2+dx^2)/d) in f32 — NOT expf.  The four corner /
+    center weights below were extracted from the compiled reference
+    (g++ build of arf.hpp:231-253); np.exp differs on 140 of the 169
+    weights by ~1 ulp."""
+    k = arf.gauss_kernel(2.0)
+    assert k.shape == (13, 13)
+    assert k[0, 0] == np.float32(4.910320968e-06)
+    assert k[6, 6] == np.float32(3.978873417e-02)
+    assert k[0, 6] == np.float32(4.420129699e-04)
+    # np.exp would give a different low bit at [0, 0]
+    assert k[0, 0] != np.float32(4.910319603e-06)
+
+
+def test_arf_rare_picks_truncated_window():
+    """Pin the truncated 13x12 blur window (arf.hpp:282-287 drops the
+    BOTTOM kernel row — round-3 fuzz finding): a color whose votes sit
+    entirely in the window's bottom row must not influence the pick,
+    while the same votes one row higher must."""
+    dots = np.zeros((27, 27, 16), np.uint16)
+    c = 13
+    # center has 1 vote each for colors 2 and 3 (both "present")
+    dots[c, c, 2] = 1
+    dots[c, c, 3] = 1
+    # color 3 gets a huge stack ONLY in the dropped row (dy = +6)
+    dots[c + 6, c - 6 : c + 7, 3] = 999
+    # color 2 gets a modest stack in the last INCLUDED row (dy = +5)
+    dots[c + 5, c - 6 : c + 7, 2] = 5
+    pick = arf.rare_picks(dots, np.array([c]), np.array([c]), 2.0)[0]
+    assert pick == 2, "bottom kernel row must be dropped (reference quirk)"
+    # move color 3's stack into the included rows -> it must win
+    dots2 = dots.copy()
+    dots2[c + 6, :, 3] = 0
+    dots2[c + 5, c - 6 : c + 7, 3] = 999
+    pick2 = arf.rare_picks(dots2, np.array([c]), np.array([c]), 2.0)[0]
+    assert pick2 == 3
+
+
+def test_palette_order_matches_compiled_reference():
+    """Pin the channel-swap ordering (cpl.hpp:99-120, round-3 fuzz
+    finding) against the table extracted from the compiled binary."""
+    from remap_tpu.core import palette
+
+    assert palette.NATIVE_TO_ORDERED.tolist() == [
+        0, 15, 2, 12, 6, 9, 3, 13, 5, 1, 7, 4, 8, 14, 10, 11,
+    ]
