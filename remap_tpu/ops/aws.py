@@ -55,10 +55,27 @@ def best_contour(heatmap: jax.Array) -> Tuple[jax.Array, ...]:
     mask = labels == best_label
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    left = jnp.where(mask, xs, w).min()
     right = jnp.where(mask, xs, -1).max()
     top = jnp.where(mask, ys, h).min()
     bottom = jnp.where(mask, ys, -1).max()
+
+    # left = the reference enclosure's quirky lower_ (cdt.hpp:183-190,
+    # derivation in spec.cte.quirky_fill_lefts).  For one component the
+    # row-major running-max rule collapses per row: an endpoint can only
+    # be non-maximal against PRIOR rows (within a row endpoints ascend),
+    # so lower_ = min over rows of (row's min endpoint x, kept iff <= the
+    # exclusive running max of prior rows' max endpoint x, init 0).
+    # Sentinel w = unset (SIZE_MAX); the host tracker maps it to the
+    # unsigned-wrap width semantics of aws.hpp:110-139.
+    shift_l = jnp.pad(mask, ((0, 0), (1, 0)))[:, :w]
+    shift_r = jnp.pad(mask, ((0, 0), (0, 1)))[:, 1:]
+    ep = mask & (~shift_l | ~shift_r)
+    row_min = jnp.where(ep, xs, w).min(axis=1)
+    row_max = jnp.where(ep, xs, -1).max(axis=1)
+    running = jax.lax.cummax(row_max)
+    prior = jnp.concatenate([jnp.zeros((1,), running.dtype), running[:-1]])
+    prior = jnp.maximum(prior, 0)
+    left = jnp.where(row_min <= prior, row_min, w).min()
 
     color = heatmap.reshape(-1)[best_label].astype(jnp.int32)
     best_area = area.reshape(-1)[best_label]

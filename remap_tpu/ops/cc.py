@@ -107,3 +107,82 @@ def component_stats(
     )
     area = jnp.where(flat < big, counts[jnp.clip(flat, 0, big - 1)], 0)
     return area.reshape(h, w), image
+
+
+def quirky_fill_left(labels: jax.Array) -> jax.Array:
+    """The reference enclosure's ``lower_`` per component — its quirky
+    bbox-left (cdt.hpp:183-190 via ctr.hpp:96-109; full derivation in
+    spec.cte.quirky_fill_lefts): the minimum over run-endpoint xs that
+    are NOT strict running maxima in row-major endpoint order.
+
+    Returns [H*W] int32 indexed by label: the quirky left, or ``w``
+    when unset (= the reference's SIZE_MAX — downstream fills clamp to
+    an empty span).
+
+    The quirky left differs from the true minimum iff the minimum x
+    occurs ONLY at the component's first endpoint ("case B").  That
+    first endpoint's x is free: labels are the component's first pixel's
+    flat index, and the first pixel is the top row's leftmost — so
+    first_x = label % w.  A cheap detector (two segment ops) gates the
+    exact sort-based evaluation behind ``lax.cond``, so the common
+    no-case-B frame pays no sort.
+    """
+    h, w = labels.shape
+    big = h * w
+    flat = labels.reshape(-1)
+    safe = jnp.clip(flat, 0, big - 1)
+
+    def shifted_lab(dx):
+        rolled = jnp.roll(labels, -dx, axis=1)
+        xs_ = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        ok = (xs_ + dx >= 0) & (xs_ + dx < w)
+        return jnp.where(ok, rolled, big + 1)
+
+    diff_l = labels != shifted_lab(-1)
+    diff_r = labels != shifted_lab(1)
+    ep = ((diff_l | diff_r) & (labels < big)).reshape(-1)
+
+    xs = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)).reshape(-1)
+
+    true_left = jax.ops.segment_min(
+        jnp.where(ep, xs, w), safe, num_segments=big
+    )
+    exists = (
+        jax.ops.segment_sum(
+            jnp.where(ep, 1, 0), safe, num_segments=big
+        )
+        > 0
+    )
+    cnt_min = jax.ops.segment_sum(
+        jnp.where(ep & (xs == true_left[safe]), 1, 0),
+        safe,
+        num_segments=big,
+    )
+    first_x = jnp.arange(big, dtype=jnp.int32) % w
+    case_b = exists & (true_left == first_x) & (cnt_min == 1)
+
+    def fast_path(_):
+        return jnp.where(exists, true_left, w)
+
+    def sorted_path(_):
+        # sort endpoints by (label, position), segmented exclusive
+        # cummax of x, segment-min over the non-running-max values
+        pos = jnp.arange(big, dtype=jnp.int32)
+        key = jnp.where(ep, flat, big)          # non-endpoints sort last
+        sl, _, sx = jax.lax.sort((key, pos, xs), num_keys=2)
+        starts = jnp.concatenate(
+            [jnp.ones((1,), bool), sl[1:] != sl[:-1]]
+        )
+        seg = jnp.cumsum(starts.astype(jnp.int32)) - 1
+        comb = seg * (w + 1) + sx
+        incl = jax.lax.cummax(comb) - seg * (w + 1)
+        prior = jnp.concatenate([jnp.zeros((1,), incl.dtype), incl[:-1]])
+        prior = jnp.where(starts, 0, prior)     # upper_ init (unsigned 0)
+        include = (sl < big) & (sx <= prior)
+        return jax.ops.segment_min(
+            jnp.where(include, sx, w),
+            jnp.clip(sl, 0, big - 1),
+            num_segments=big,
+        )
+
+    return jax.lax.cond(case_b.any(), sorted_path, fast_path, None)

@@ -70,9 +70,13 @@ def foreground_mask(
         > 0
     )
 
-    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).reshape(-1)
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).reshape(-1)
-    left = jax.ops.segment_min(jnp.where(interior, xs, w), safe, num_segments=big)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).reshape(-1)
+    # fill-left = the reference enclosure's quirky lower_ (NOT the true
+    # bbox min — cdt.hpp:183-190, see cc.quirky_fill_left); clamping to
+    # right below makes the unset/inverted case an empty span, exactly
+    # like the reference's never-entered fill loop
+    left = cc.quirky_fill_left(labels)
     right = jax.ops.segment_max(jnp.where(interior, xs, -1), safe, num_segments=big)
     top = jax.ops.segment_min(jnp.where(interior, ys, h), safe, num_segments=big)
     bottom = jax.ops.segment_max(jnp.where(interior, ys, -1), safe, num_segments=big)
@@ -88,8 +92,8 @@ def foreground_mask(
     upd = jnp.where(is_root, 1, 0)
     t = jnp.clip(top, 0, h)
     b_ = jnp.clip(bottom, 0, h)
-    l_ = jnp.clip(left, 0, w)
     r_ = jnp.clip(right, 0, w)
+    l_ = jnp.clip(jnp.minimum(left, r_), 0, w)
     diff = diff.at[t, l_].add(upd)
     diff = diff.at[t, r_].add(-upd)
     diff = diff.at[b_, l_].add(-upd)
@@ -188,8 +192,14 @@ def _masks_from_stats(
 
     t = jnp.clip(stats[:, 1].reshape(b, -1), 0, h)
     b_ = jnp.clip(stats[:, 3].reshape(b, -1), 0, h)
-    l_ = jnp.clip(stats[:, 0].reshape(b, -1), 0, w)
     r_ = jnp.clip(stats[:, 2].reshape(b, -1), 0, w)
+    # the fill's left is the quirky enclosure lower_ (cc.quirky_fill_left,
+    # cdt.hpp:183-190), not the kernel-propagated true minx (stats[:, 0]);
+    # min(.., r_) turns unset/inverted into an empty span like the
+    # reference's never-entered loop
+    qleft_seg = jax.vmap(cc.quirky_fill_left)(labels)        # [B, big]
+    qleft_pix = jnp.take_along_axis(qleft_seg, safe, axis=1)
+    l_ = jnp.clip(jnp.minimum(qleft_pix, r_), 0, w)
 
     def fill(u, tt, bb, ll, rr):
         diff = jnp.zeros((h + 1, w + 1), jnp.int32)

@@ -80,16 +80,23 @@ def scan(
             if color == 0 and carea > area:
                 stagnation = 0
                 area = int(carea)
+                # cbbox[0] is the quirky enclosure lower_ (ops.aws:
+                # sentinel w = unset/SIZE_MAX); width wraps unsigned
+                # like the reference's (aws.hpp:110-139, cdt.hpp:192-195)
+                left_q = int(cbbox[0])
+                if left_q >= w:
+                    left_q = 2**64 - 1
                 window = Rect(
-                    left=int(cbbox[0]),
+                    left=left_q,
                     top=int(cbbox[1]),
                     right=int(cbbox[2]),
                     bottom=int(cbbox[3]),
                 )
+                width_q = (window.right - left_q) % 2**64
                 if result is not None or (
                     area > min_area
                     and window.height > min_height
-                    and window.width > min_width
+                    and width_q > min_width
                 ):
                     result = window
             if result is not None:

@@ -27,6 +27,9 @@ import numpy as np
 from remap_tpu.core.geometry import Rect
 from remap_tpu.spec import cte
 
+#: the reference's size_t (unsigned 64-bit) — enclosure coordinates wrap
+_U64_MAX = 2**64 - 1
+
 
 @dataclasses.dataclass
 class WindowInfo:
@@ -82,11 +85,24 @@ def scan(
         if best.color == 0 and best.area > area:
             stagnation = 0
             area = best.area
-            window = best.bbox
+            # the reference tracks the contour's ENCLOSURE, whose left is
+            # the quirky cdt::limits lower_ (spec.cte.quirky_fill_lefts):
+            # SIZE_MAX when unset, and width() underflows unsigned
+            # (aws.hpp:110-139 with ctr.hpp:96-109, cdt.hpp:183-198)
+            left_q = (
+                best.fill_left if best.fill_left is not None else _U64_MAX
+            )
+            window = Rect(
+                left=left_q,
+                top=best.bbox.top,
+                right=best.bbox.right,
+                bottom=best.bbox.bottom,
+            )
+            width_q = (window.right - left_q) % (_U64_MAX + 1)
             if result is not None or (
                 area > min_area
                 and window.height > min_height
-                and window.width > min_width
+                and width_q > min_width
             ):
                 result = window
 

@@ -31,8 +31,12 @@ class Contour:
     id: int                  # 1-based, discovery order (cte.hpp:96-98)
     color: int
     area: int
-    bbox: Rect               # inclusive right/bottom (ctr.hpp:96-109)
+    bbox: Rect               # TRUE pixel bbox, inclusive right/bottom
     label: int               # value in the labels matrix
+    #: The reference enclosure's ``lower_`` — its quirky bbox-left
+    #: (cdt.hpp:183-190 with ctr.hpp:96-109): ``None`` when unset
+    #: (= SIZE_MAX in the reference).  See :func:`quirky_fill_lefts`.
+    fill_left: Optional[int] = None
 
 
 @dataclasses.dataclass(eq=False)
@@ -88,6 +92,57 @@ def label_components(image: np.ndarray) -> np.ndarray:
     return labels
 
 
+def quirky_fill_lefts(labels: np.ndarray) -> np.ndarray:
+    """The reference enclosure's ``lower_`` per component label.
+
+    ``cdt::limits::update`` is ``if (v > upper_) upper_ = v; else if
+    (v < lower_) lower_ = v;`` (cdt.hpp:183-190), so a value only ever
+    reaches ``lower_`` when it is NOT a strict running maximum.
+    ``get_enclosure`` feeds it the x of every *horizontal-edge* cell in
+    row-major (sorted-position) order (ctr.hpp:96-109; exactly the run
+    endpoints — each row's runs contribute their first and last cell,
+    a single-cell run once).  Consequence: ``lower_`` = min over
+    endpoint xs that are <= the running maximum of all PRIOR endpoint
+    xs (with ``upper_`` initialised to 0); when every endpoint is a
+    strict running maximum (e.g. any single-row contour), ``lower_``
+    stays SIZE_MAX.  This differs from the true bbox-left exactly when
+    the minimum x occurs only at the component's first endpoint — found
+    live by the round-3 unit-dump differential (1-2 px fde fill diffs
+    per affected frame, invisible at map level).
+
+    Returns an int64 array indexed by label: the quirky left, or
+    ``labels.shape[1]`` (= w, one past any real x) when unset.
+    """
+    h, w = labels.shape
+    L = labels
+    diff_l = np.ones((h, w), bool)
+    diff_l[:, 1:] = L[:, 1:] != L[:, :-1]
+    diff_r = np.ones((h, w), bool)
+    diff_r[:, :-1] = L[:, :-1] != L[:, 1:]
+    ep = (diff_l | diff_r) & (L > 0)
+    ys, xs = np.nonzero(ep)                     # row-major order
+    labs = L[ys, xs]
+    n = int(L.max()) + 1
+    out = np.full(n, w, dtype=np.int64)
+    if len(xs) == 0:
+        return out
+    order = np.argsort(labs, kind="stable")     # keeps row-major per label
+    sl = labs[order]
+    sx = xs[order].astype(np.int64)
+    starts = np.ones(len(sl), bool)
+    starts[1:] = sl[1:] != sl[:-1]
+    seg = np.cumsum(starts) - 1
+    comb = seg * (w + 1) + sx
+    incl = np.maximum.accumulate(comb) - seg * (w + 1)  # segmented cummax
+    prior = np.empty_like(incl)
+    prior[0] = 0
+    prior[1:] = incl[:-1]
+    prior[starts] = 0                           # upper_ init (unsigned 0)
+    include = sx <= prior
+    np.minimum.at(out, sl[include], sx[include])
+    return out
+
+
 def extract(
     image: np.ndarray,
     pred_mask: Optional[np.ndarray] = None,
@@ -127,8 +182,10 @@ def extract(
     order = [lab for lab in np.argsort(first, kind="stable") if first[lab] < h * w]
 
     img_flat = image.ravel()
+    fills = quirky_fill_lefts(labels)
     contours: List[Contour] = []
     for lab in order:
+        fl = int(fills[lab])
         contours.append(
             Contour(
                 id=len(contours) + 1,
@@ -141,6 +198,7 @@ def extract(
                     bottom=int(bottom[lab]),
                 ),
                 label=int(lab),
+                fill_left=None if fl >= w else fl,
             )
         )
     return ContoursResult(labels=labels, contours=contours)

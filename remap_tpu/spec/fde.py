@@ -52,12 +52,20 @@ def foreground_mask(
     kept: List[cte.Contour],
     shape: Tuple[int, int],
 ) -> np.ndarray:
-    """fde::mask (fde.hpp:122-146): contour pixels + bbox fill (bbox fill
-    excludes the inclusive bbox's last row/column — reference quirk)."""
+    """fde::mask (fde.hpp:122-146): contour pixels + bbox fill.
+
+    The fill loops run ``[top_, bottom_) x [left_, right_)`` over the
+    reference's *enclosure*, which carries two quirks: inclusive bounds
+    treated as exclusive (the last row/column is skipped), and ``left_``
+    = the quirky ``lower_`` of cdt::limits (see
+    spec.cte.quirky_fill_lefts) — ``None``/greater-than-right paints
+    nothing (the reference's loop body never runs)."""
     out = np.zeros(shape, dtype=np.uint8)
     for c in kept:
         out[result.labels == c.label] = 1
     for c in kept:
         b = c.bbox
-        out[b.top : b.bottom, b.left : b.right] = 1
+        if c.fill_left is None or c.fill_left >= b.right:
+            continue
+        out[b.top : b.bottom, c.fill_left : b.right] = 1
     return out

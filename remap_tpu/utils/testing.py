@@ -84,12 +84,14 @@ def render_clip(
     sprite_size: int = 6,
     hud_rows: int = 0,
     border: int = 0,
+    hud_bottom_rows: int = 0,
 ) -> Clip:
     """Render frames along the camera path.
 
-    ``hud_rows``/``border`` add static rows at the top / a static frame
-    around the action window (for aws tests); sprites are solid moving
-    rectangles drawn over the world (for fde/fdf tests).
+    ``hud_rows``/``hud_bottom_rows``/``border`` add static rows at the
+    top / bottom / a static frame around the action window (for aws
+    tests); sprites are solid moving rectangles drawn over the world
+    (for fde/fdf tests).
     """
     fh, fw = frame_hw
     frames = []
@@ -99,10 +101,18 @@ def render_clip(
     for _ in range(n_sprites):
         color = int(rng.integers(0, 16))
         sx = int(rng.integers(0, fw - sprite_size))
-        sy = int(rng.integers(hud_rows + border, fh - border - sprite_size))
+        sy = int(
+            rng.integers(
+                hud_rows + border,
+                fh - border - hud_bottom_rows - sprite_size,
+            )
+        )
         sprites.append([sx, sy, color])
 
     hud = rng.integers(0, 16, size=(hud_rows, fw), dtype=np.uint8)
+    hud_bottom = rng.integers(
+        0, 16, size=(hud_bottom_rows, fw), dtype=np.uint8
+    )
 
     for x, y in path:
         frame = world[y : y + fh, x : x + fw].copy()
@@ -116,11 +126,13 @@ def render_clip(
                 np.clip(
                     sy + rng.integers(-2, 3),
                     hud_rows + border,
-                    fh - border - sprite_size,
+                    fh - border - hud_bottom_rows - sprite_size,
                 )
             )
         if hud_rows:
             frame[:hud_rows] = hud
+        if hud_bottom_rows:
+            frame[-hud_bottom_rows:] = hud_bottom
         if border:
             frame[:border] = 5
             frame[-border:] = 5

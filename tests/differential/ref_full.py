@@ -106,6 +106,94 @@ _ARF_SIZE = [
     ("std::integral_constant<std::uint8_t,", "std::integral_constant<std::size_t,"),
 ]
 
+# --- env-gated intermediate dumps (diagnostic seam, ours) -------------
+#
+# When REMAP_REF_DUMP=<dir> is set at runtime, the staged binary writes
+# per-stage intermediates there: per-frame median/image/mask from the
+# fdf callback, per-fragment dot matrices after splice and fdf, and the
+# arf heatmap + pre-crop result.  This is what makes UNIT-sensitivity
+# differentials possible (tests/differential/test_ref_units.py): the
+# round-3 palette-ordering bug survived two rounds of map-level e2e
+# checks because vote argmaxes absorb almost all median diffs — stage
+# dumps fail on the FIRST diverging pixel instead.  Without the env var
+# the binary behaves exactly as shipped.
+
+_DUMP_HELPERS = """
+namespace refdump {
+[[nodiscard]] inline char const* dir() noexcept {
+  return std::getenv("REMAP_REF_DUMP");
+}
+inline void write_blob(std::string const& name,
+                       void const* data,
+                       std::uint64_t w,
+                       std::uint64_t h,
+                       std::size_t bytes) {
+  std::ofstream out{std::string{dir()} + "/" + name, std::ios::binary};
+  out.write(reinterpret_cast<char const*>(&w), 8);
+  out.write(reinterpret_cast<char const*>(&h), 8);
+  out.write(reinterpret_cast<char const*>(data),
+            static_cast<std::streamsize>(bytes));
+}
+inline void write_dots(std::string const& name, fgm::fragment const& frag) {
+  auto& dots{frag.dots()};
+  write_blob(name, dots.data(), dots.width(), dots.height(),
+             dots.size() * sizeof(fgm::dot_type));
+}
+}  // namespace refdump
+"""
+
+_FDF_CB_OLD = """    counter_.count();
+  }
+
+private:
+  perf_counter counter_{"fdf", 1000};"""
+_FDF_CB_NEW = """    if (refdump::dir()) {
+      auto tag{std::to_string(fragment_no) + "_" + std::to_string(frame_no)};
+      refdump::write_blob("med_" + tag, median.data(), median.width(),
+                          median.height(), median.size());
+      refdump::write_blob("img_" + tag, image.data(), image.width(),
+                          image.height(), image.size());
+      refdump::write_blob("mask_" + tag, mask.data(), mask.width(),
+                          mask.height(), mask.size());
+    }
+    counter_.count();
+  }
+
+private:
+  perf_counter counter_{"fdf", 1000};"""
+
+_MPB_CB_OLD = """  inline void operator()(std::string const& tag,
+                         std::vector<fgm::fragment> const& end) const noexcept {
+  }"""
+_MPB_CB_NEW = """  inline void operator()(std::string const& tag,
+                         std::vector<fgm::fragment> const& end) const noexcept {
+    if (refdump::dir()) {
+      std::size_t i{};
+      for (auto& frag : end) {
+        refdump::write_dots(tag + "_dots_" + std::to_string(i++), frag);
+      }
+    }
+  }"""
+
+_ARF_CB_OLD = """struct arf_callback {
+  inline void operator()(sid::nat::dimg_t const& fragment,
+                         mrl::matrix<float> const& heatmap) const noexcept {
+  }
+};"""
+_ARF_CB_NEW = """struct arf_callback {
+  inline void operator()(sid::nat::dimg_t const& fragment,
+                         mrl::matrix<float> const& heatmap) const noexcept {
+    if (refdump::dir()) {
+      static std::atomic<int> counter{0};
+      auto n{std::to_string(counter++)};
+      refdump::write_blob("arf_heat_" + n, heatmap.data(), heatmap.width(),
+                          heatmap.height(), heatmap.size() * 4);
+      refdump::write_blob("arf_img_" + n, fragment.data(), fragment.width(),
+                          fragment.height(), fragment.size());
+    }
+  }
+};"""
+
 # MSVC converts {} to __m128i; GCC needs the zeroing intrinsic.
 _ZERO128 = (
     "_mm256_castsi128_si256({})",
@@ -180,6 +268,16 @@ def _patch(name: str, text: str) -> str:
         text = text.replace(_POOL_OLD, _POOL_NEW)
     if name == "main.cpp":
         text = text.replace(_CALLBACKS_OLD, _CALLBACKS_NEW)
+        for old, new, what in (
+            (_FDF_CB_OLD, _FDF_CB_NEW, "fdf callback"),
+            (_MPB_CB_OLD, _MPB_CB_NEW, "mpb vector callback"),
+            (_ARF_CB_OLD, _ARF_CB_NEW, "arf callback"),
+        ):
+            assert old in text, f"dump anchor not found: {what}"
+            text = text.replace(old, new, 1)
+        text = text.replace(
+            "struct aws_callback {", _DUMP_HELPERS + "\nstruct aws_callback {", 1
+        )
     return text
 
 
@@ -209,6 +307,8 @@ def build_reference(out_dir: pathlib.Path | None = None) -> pathlib.Path:
         # headers MSVC's STL drags in transitively
         "-include", "functional", "-include", "cstring",
         "-include", "limits", "-include", "cmath", "-include", "list",
+        # for the env-gated dump seam (std::getenv / std::atomic)
+        "-include", "cstdlib", "-include", "atomic",
         "-I", str(stage),
         str(stage / "main.cpp"), "-o", str(out),
         "-lpng", "-ltbb",
@@ -217,12 +317,24 @@ def build_reference(out_dir: pathlib.Path | None = None) -> pathlib.Path:
     return out
 
 
-def run_reference(binary: pathlib.Path, frames_dir: pathlib.Path,
-                  out_dir: pathlib.Path) -> list[pathlib.Path]:
-    """Run `remap <frames_dir>` with cwd=out_dir; returns out<i>.png paths."""
+def run_reference(
+    binary: pathlib.Path,
+    frames_dir: pathlib.Path,
+    out_dir: pathlib.Path,
+    dump_dir: pathlib.Path | None = None,
+) -> list[pathlib.Path]:
+    """Run `remap <frames_dir>` with cwd=out_dir; returns out<i>.png paths.
+
+    With ``dump_dir`` the binary also writes per-stage intermediates
+    there (REMAP_REF_DUMP seam above) for unit-sensitivity diffing."""
+    import os
+
+    env = None
+    if dump_dir is not None:
+        env = dict(os.environ, REMAP_REF_DUMP=str(dump_dir))
     subprocess.run(
         [str(binary), str(frames_dir)],
-        cwd=out_dir, check=True, capture_output=True, timeout=600,
+        cwd=out_dir, check=True, capture_output=True, timeout=600, env=env,
     )
     return sorted(out_dir.glob("out*.png"))
 

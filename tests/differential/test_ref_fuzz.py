@@ -119,6 +119,79 @@ def make_fuzz_clip(seed: int):
     return frames, summary
 
 
+def make_fuzz_clip_wide(seed: int):
+    """The v2 ("wide") family: everything v1 samples, plus world tile
+    size 2-8, world noise density 0.15-0.35, a bottom HUD band, and
+    faster cameras — distribution axes v1 held fixed.  Kept separate so
+    v1's validated seeds stay bit-stable."""
+    rng = np.random.default_rng(7_777_777 * (seed + 1))
+    teleport = bool(rng.random() < 0.4)
+    flash = bool(rng.random() < 0.25)
+    tile = int(rng.integers(2, 9))
+    noise = float(rng.uniform(0.15, 0.35))
+    wh = int(rng.integers(800, 1400))
+    ww = int(rng.integers(1200, 2000))
+    base = rng.integers(0, 16, size=(wh // tile + 1, ww // tile + 1),
+                        dtype=np.uint8)
+    base = np.kron(base, np.ones((tile, tile), np.uint8))[:wh, :ww]
+    detail = rng.integers(0, 16, size=(wh, ww), dtype=np.uint8)
+    world = np.where(rng.random((wh, ww)) < noise, detail, base).astype(
+        np.uint8
+    )
+
+    n_frames = int(rng.integers(70, 130))
+    max_step = int(rng.integers(1, 7))
+    hud_rows = int(rng.choice([0, 16, 24]))
+    hud_bottom = int(rng.choice([0, 0, 20, 28]))
+    border = int(rng.choice([4, 8]))
+    n_sprites = int(rng.integers(0, 4))
+    sprite_size = int(rng.integers(8, 14))
+
+    def rand_start():
+        return (
+            int(rng.integers(0, ww - FW + 1)),
+            int(rng.integers(0, wh - FH + 1)),
+        )
+
+    if teleport:
+        n1 = int(rng.integers(n_frames // 3, 2 * n_frames // 3))
+        path = testing.make_camera_path(
+            n1, (wh, ww), (FH, FW), rng, max_step=max_step, start=rand_start()
+        ) + testing.make_camera_path(
+            n_frames - n1, (wh, ww), (FH, FW), rng, max_step=max_step,
+            start=rand_start(),
+        )
+    else:
+        path = testing.make_camera_path(
+            n_frames, (wh, ww), (FH, FW), rng, max_step=max_step,
+            start=rand_start(),
+        )
+
+    clip = testing.render_clip(
+        world, path, (FH, FW), rng=rng,
+        n_sprites=n_sprites, sprite_size=sprite_size,
+        hud_rows=hud_rows, border=border, hud_bottom_rows=hud_bottom,
+    )
+    frames = [f.copy() for f in clip.frames]
+    if flash:
+        at = int(rng.integers(n_frames // 2, n_frames - 5))
+        band = int(rng.integers(40, 120))
+        img = np.zeros((FH, FW), np.uint8)
+        for k in range(0, FH, band):
+            img[k : k + band] = int(rng.integers(1, 16)) if (
+                (k // band) % 2 == 0
+            ) else 0
+        frames[at] = img
+
+    summary = (
+        f"wide seed={seed} world={wh}x{ww} tile={tile} noise={noise:.2f} "
+        f"n={n_frames} step={max_step} hud={hud_rows}+{hud_bottom} "
+        f"border={border} sprites={n_sprites}"
+        f"{' teleport' if teleport else ''}{' flash' if flash else ''}"
+    )
+    return frames, summary
+
+
 def _seeds():
     env = os.environ.get("REMAP_FUZZ_SEEDS")
     if env:
@@ -128,10 +201,16 @@ def _seeds():
     return [0, 2, 7]
 
 
-@pytest.mark.parametrize("seed", _seeds())
-def test_ref_fuzz_pixel_exact(ref_binary, tmp_path, seed):
-    frames, summary = make_fuzz_clip(seed)
-    clip_dir = tmp_path / f"fuzz{seed}"
+def _wide_seeds():
+    env = os.environ.get("REMAP_FUZZ_WIDE_SEEDS")
+    if env:
+        return [int(s) for s in env.split(",") if s.strip()]
+    # 0 = dense tile-2 world + teleport + flash + sprites; 4 = bottom HUD
+    return [0, 4]
+
+
+def _run_case(ref_binary, tmp_path, frames, summary, tag):
+    clip_dir = tmp_path / tag
     _write_clip(frames, clip_dir)
 
     ref_out = tmp_path / "refout"
@@ -142,3 +221,15 @@ def test_ref_fuzz_pixel_exact(ref_binary, tmp_path, seed):
 
     our_maps = _run_ours(clip_dir)
     _assert_maps_equal(ref_maps, our_maps, summary)
+
+
+@pytest.mark.parametrize("seed", _seeds())
+def test_ref_fuzz_pixel_exact(ref_binary, tmp_path, seed):
+    frames, summary = make_fuzz_clip(seed)
+    _run_case(ref_binary, tmp_path, frames, summary, f"fuzz{seed}")
+
+
+@pytest.mark.parametrize("seed", _wide_seeds())
+def test_ref_fuzz_wide_pixel_exact(ref_binary, tmp_path, seed):
+    frames, summary = make_fuzz_clip_wide(seed)
+    _run_case(ref_binary, tmp_path, frames, summary, f"wide{seed}")

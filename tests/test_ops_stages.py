@@ -49,8 +49,11 @@ def test_best_contour_matches_spec():
     best = min(contours, key=lambda c: c.area * c.color)
     assert color == best.color
     assert area == best.area
+    # bbox left = the reference enclosure's quirky lower_ (sentinel w =
+    # unset), NOT the true pixel minimum (cdt.hpp:183-190)
+    exp_left = best.fill_left if best.fill_left is not None else heat.shape[1]
     assert tuple(bbox) == (
-        best.bbox.left, best.bbox.top, best.bbox.right, best.bbox.bottom,
+        exp_left, best.bbox.top, best.bbox.right, best.bbox.bottom,
     )
 
 
