@@ -109,24 +109,10 @@ def component_stats(
     return area.reshape(h, w), image
 
 
-def quirky_fill_left(labels: jax.Array) -> jax.Array:
-    """The reference enclosure's ``lower_`` per component — its quirky
-    bbox-left (cdt.hpp:183-190 via ctr.hpp:96-109; full derivation in
-    spec.cte.quirky_fill_lefts): the minimum over run-endpoint xs that
-    are NOT strict running maxima in row-major endpoint order.
-
-    Returns [H*W] int32 indexed by label: the quirky left, or ``w``
-    when unset (= the reference's SIZE_MAX — downstream fills clamp to
-    an empty span).
-
-    The quirky left differs from the true minimum iff the minimum x
-    occurs ONLY at the component's first endpoint ("case B").  That
-    first endpoint's x is free: labels are the component's first pixel's
-    flat index, and the first pixel is the top row's leftmost — so
-    first_x = label % w.  A cheap detector (two segment ops) gates the
-    exact sort-based evaluation behind ``lax.cond``, so the common
-    no-case-B frame pays no sort.
-    """
+def _quirky_parts(labels: jax.Array):
+    """Per-frame pieces shared by both quirky-left paths: endpoint mask,
+    per-label true left / existence, and the case-B flag (see
+    :func:`quirky_fill_left`)."""
     h, w = labels.shape
     big = h * w
     flat = labels.reshape(-1)
@@ -141,17 +127,13 @@ def quirky_fill_left(labels: jax.Array) -> jax.Array:
     diff_l = labels != shifted_lab(-1)
     diff_r = labels != shifted_lab(1)
     ep = ((diff_l | diff_r) & (labels < big)).reshape(-1)
-
     xs = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)).reshape(-1)
 
     true_left = jax.ops.segment_min(
         jnp.where(ep, xs, w), safe, num_segments=big
     )
     exists = (
-        jax.ops.segment_sum(
-            jnp.where(ep, 1, 0), safe, num_segments=big
-        )
-        > 0
+        jax.ops.segment_sum(jnp.where(ep, 1, 0), safe, num_segments=big) > 0
     )
     cnt_min = jax.ops.segment_sum(
         jnp.where(ep & (xs == true_left[safe]), 1, 0),
@@ -160,29 +142,78 @@ def quirky_fill_left(labels: jax.Array) -> jax.Array:
     )
     first_x = jnp.arange(big, dtype=jnp.int32) % w
     case_b = exists & (true_left == first_x) & (cnt_min == 1)
+    return ep, xs, flat, true_left, exists, jnp.any(case_b)
 
-    def fast_path(_):
-        return jnp.where(exists, true_left, w)
 
-    def sorted_path(_):
-        # sort endpoints by (label, position), segmented exclusive
-        # cummax of x, segment-min over the non-running-max values
-        pos = jnp.arange(big, dtype=jnp.int32)
-        key = jnp.where(ep, flat, big)          # non-endpoints sort last
-        sl, _, sx = jax.lax.sort((key, pos, xs), num_keys=2)
-        starts = jnp.concatenate(
-            [jnp.ones((1,), bool), sl[1:] != sl[:-1]]
-        )
-        seg = jnp.cumsum(starts.astype(jnp.int32)) - 1
-        comb = seg * (w + 1) + sx
-        incl = jax.lax.cummax(comb) - seg * (w + 1)
-        prior = jnp.concatenate([jnp.zeros((1,), incl.dtype), incl[:-1]])
-        prior = jnp.where(starts, 0, prior)     # upper_ init (unsigned 0)
-        include = (sl < big) & (sx <= prior)
-        return jax.ops.segment_min(
-            jnp.where(include, sx, w),
-            jnp.clip(sl, 0, big - 1),
-            num_segments=big,
-        )
+def _quirky_fast(true_left, exists, w):
+    return jnp.where(exists, true_left, w)
 
-    return jax.lax.cond(case_b.any(), sorted_path, fast_path, None)
+
+def _quirky_sorted(ep, xs, flat, w):
+    """Sort endpoints by (label, position); segmented exclusive cummax
+    of x; segment-min over the non-running-max values."""
+    big = flat.shape[0]
+    pos = jnp.arange(big, dtype=jnp.int32)
+    key = jnp.where(ep, flat, big)              # non-endpoints sort last
+    sl, _, sx = jax.lax.sort((key, pos, xs), num_keys=2)
+    starts = jnp.concatenate([jnp.ones((1,), bool), sl[1:] != sl[:-1]])
+    seg = jnp.cumsum(starts.astype(jnp.int32)) - 1
+    comb = seg * (w + 1) + sx
+    incl = jax.lax.cummax(comb) - seg * (w + 1)
+    prior = jnp.concatenate([jnp.zeros((1,), incl.dtype), incl[:-1]])
+    prior = jnp.where(starts, 0, prior)         # upper_ init (unsigned 0)
+    include = (sl < big) & (sx <= prior)
+    return jax.ops.segment_min(
+        jnp.where(include, sx, w),
+        jnp.clip(sl, 0, big - 1),
+        num_segments=big,
+    )
+
+
+def quirky_fill_left(labels: jax.Array) -> jax.Array:
+    """The reference enclosure's ``lower_`` per component — its quirky
+    bbox-left (cdt.hpp:183-190 via ctr.hpp:96-109; full derivation in
+    spec.cte.quirky_fill_lefts): the minimum over run-endpoint xs that
+    are NOT strict running maxima in row-major endpoint order.
+
+    Returns [H*W] int32 indexed by label: the quirky left, or ``w``
+    when unset (= the reference's SIZE_MAX — downstream fills clamp to
+    an empty span).
+
+    The quirky left differs from the true minimum iff the minimum x
+    occurs ONLY at the component's first endpoint ("case B").  That
+    first endpoint's x is free: labels are the component's first pixel's
+    flat index, and the first pixel is the top row's leftmost — so
+    first_x = label mod w.  A cheap detector (two segment ops) gates the
+    exact sort-based evaluation behind ``lax.cond``, so the common
+    no-case-B frame pays no sort.  Batched callers must use
+    :func:`quirky_fill_left_batch` — under vmap, ``cond`` lowers to
+    ``select`` and BOTH branches would run for every frame.
+    """
+    w = labels.shape[1]
+    ep, xs, flat, true_left, exists, case_b = _quirky_parts(labels)
+    return jax.lax.cond(
+        case_b,
+        lambda _: _quirky_sorted(ep, xs, flat, w),
+        lambda _: _quirky_fast(true_left, exists, w),
+        None,
+    )
+
+
+def quirky_fill_left_batch(labels: jax.Array) -> jax.Array:
+    """Batched :func:`quirky_fill_left` ([B, H, W] -> [B, H*W]) with the
+    case-B detector hoisted OVER the batch: the whole batch takes the
+    sorted path only when some frame needs it, so the common case pays
+    two segment ops per frame and no sort."""
+    w = labels.shape[2]
+    ep, xs, flat, true_left, exists, case_b = jax.vmap(_quirky_parts)(labels)
+    return jax.lax.cond(
+        jnp.any(case_b),
+        lambda _: jax.vmap(_quirky_sorted, in_axes=(0, 0, 0, None))(
+            ep, xs, flat, w
+        ),
+        lambda _: jax.vmap(_quirky_fast, in_axes=(0, 0, None))(
+            true_left, exists, w
+        ),
+        None,
+    )

@@ -43,6 +43,9 @@ def foreground_mask(
     changed: jax.Array,     # [H, W] bool (equality mask inverted)
     area_limit: int,
     labels: jax.Array | None = None,   # [H, W] int32 CC labels (optional)
+    fill_left: jax.Array | None = None,  # [H*W] quirky lefts (optional —
+                                         # pass from quirky_fill_left_batch
+                                         # when calling under vmap)
 ) -> jax.Array:
     """[H, W] bool — the fde::mask foreground (True = masked out).
 
@@ -76,7 +79,7 @@ def foreground_mask(
     # bbox min — cdt.hpp:183-190, see cc.quirky_fill_left); clamping to
     # right below makes the unset/inverted case an empty span, exactly
     # like the reference's never-entered fill loop
-    left = cc.quirky_fill_left(labels)
+    left = fill_left if fill_left is not None else cc.quirky_fill_left(labels)
     right = jax.ops.segment_max(jnp.where(interior, xs, -1), safe, num_segments=big)
     top = jax.ops.segment_min(jnp.where(interior, ys, h), safe, num_segments=big)
     bottom = jax.ops.segment_max(jnp.where(interior, ys, -1), safe, num_segments=big)
@@ -151,11 +154,15 @@ def extract_batch(
     else:
         labels = jax.vmap(cc.label_components)(medians)
 
+    # quirky lefts computed OUTSIDE the vmap: the batch-level helper
+    # keeps its case-detector a real cond (vmapping the per-frame cond
+    # would lower it to select and always pay the sorted path)
+    qleft = cc.quirky_fill_left_batch(labels)
     return jax.vmap(
-        lambda median, chg, lab: foreground_mask(
-            median, chg, limit, labels=lab
+        lambda median, chg, lab, ql: foreground_mask(
+            median, chg, limit, labels=lab, fill_left=ql
         )
-    )(medians, changed, labels).astype(jnp.uint8)
+    )(medians, changed, labels, qleft).astype(jnp.uint8)
 
 
 def _masks_from_stats(
@@ -197,7 +204,7 @@ def _masks_from_stats(
     # cdt.hpp:183-190), not the kernel-propagated true minx (stats[:, 0]);
     # min(.., r_) turns unset/inverted into an empty span like the
     # reference's never-entered loop
-    qleft_seg = jax.vmap(cc.quirky_fill_left)(labels)        # [B, big]
+    qleft_seg = cc.quirky_fill_left_batch(labels)            # [B, big]
     qleft_pix = jnp.take_along_axis(qleft_seg, safe, axis=1)
     l_ = jnp.clip(jnp.minimum(qleft_pix, r_), 0, w)
 
