@@ -142,6 +142,33 @@ inline void write_dots(std::string const& name, fgm::fragment const& frag) {
 }  // namespace refdump
 """
 
+_AWS_CB_OLD = """struct aws_callback {
+  inline void operator()(aws::frame_type const& frame,
+                         aws::heatmap_type const& heatmap,
+                         aws::contour_type const& contour,
+                         std::size_t stagnation) noexcept {
+    counter_.count();
+  }"""
+_AWS_CB_NEW = """struct aws_callback {
+  inline void operator()(aws::frame_type const& frame,
+                         aws::heatmap_type const& heatmap,
+                         aws::contour_type const& contour,
+                         std::size_t stagnation) noexcept {
+    if (refdump::dir()) {
+      std::ofstream out{std::string{refdump::dir()} + "/aws.txt",
+                        std::ios::app};
+      auto& reg = contour.enclosure();
+      out << contour.area() << ' '
+          << static_cast<unsigned>(value(contour.color())) << ' '
+          << static_cast<unsigned long long>(reg.left_) << ' '
+          << static_cast<unsigned long long>(reg.top_) << ' '
+          << static_cast<unsigned long long>(reg.right_) << ' '
+          << static_cast<unsigned long long>(reg.bottom_) << ' '
+          << stagnation << '\\n';
+    }
+    counter_.count();
+  }"""
+
 _FDF_CB_OLD = """    counter_.count();
   }
 
@@ -269,6 +296,7 @@ def _patch(name: str, text: str) -> str:
     if name == "main.cpp":
         text = text.replace(_CALLBACKS_OLD, _CALLBACKS_NEW)
         for old, new, what in (
+            (_AWS_CB_OLD, _AWS_CB_NEW, "aws callback"),
             (_FDF_CB_OLD, _FDF_CB_NEW, "fdf callback"),
             (_MPB_CB_OLD, _MPB_CB_NEW, "mpb vector callback"),
             (_ARF_CB_OLD, _ARF_CB_NEW, "arf callback"),

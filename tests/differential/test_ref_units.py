@@ -7,6 +7,8 @@ only 1-3 map pixels on 3 of 9 clips.  This file diffs the *stages*
 directly against the binary (REMAP_REF_DUMP seam in ref_full.py), so a
 single diverging pixel in any intermediate fails loudly:
 
+- per-frame aws best contours (area/color/quirky enclosure/stagnation)
+  -> heatmap AND, CC labeling, area*color tie-breaks, cdt::limits parity
 - per-frame stored images  -> feed + RLE codec parity
 - per-frame stored medians -> kpe kernel + ordered-palette parity
 - per-frame fde masks      -> contour extraction / bbox-fill parity
@@ -19,7 +21,7 @@ import numpy as np
 import pytest
 
 from remap_tpu.core.regions import make_layout
-from remap_tpu.spec import arf, aws, fde, fdf, fgs, frc
+from remap_tpu.spec import arf, aws, cte, fde, fdf, fgs, frc
 from remap_tpu.utils import testing
 
 from tests.differential import ref_full
@@ -59,6 +61,26 @@ def test_ref_stage_dumps_pixel_exact(ref_binary, tmp_path):
     dump.mkdir()
     pngs = ref_full.run_reference(ref_binary, clip_dir, ref_out, dump)
     assert len(pngs) == 1
+
+    # aws: replay the spec's per-frame heatmap/best-contour machine and
+    # compare with the reference's aws-callback trace (aws.hpp:146) —
+    # area, color, the QUIRKY enclosure (left may be SIZE_MAX), and the
+    # stagnation counter's evolution
+    ref_aws = [
+        tuple(int(v) for v in line.split())
+        for line in (dump / "aws.txt").read_text().splitlines()
+    ]
+    assert ref_aws, "reference wrote no aws trace"
+    heat = np.ones_like(frames[0])
+    u64max = 2**64 - 1
+    for i, (a, c, l, t, r, b2, _stag) in enumerate(ref_aws):
+        heat &= (frames[i] == frames[i + 1]).astype(np.uint8)
+        contours = cte.extract(heat).contours
+        best = min(contours, key=lambda cc_: cc_.area * cc_.color)
+        fl = best.fill_left if best.fill_left is not None else u64max
+        got = (best.area, best.color, fl, best.bbox.top,
+               best.bbox.right, best.bbox.bottom)
+        assert got == (a, c, l, t, r, b2), f"aws frame {i}: {got} != ref"
 
     window = aws.scan(iter(frames))
     crop = window.crop
