@@ -1,0 +1,522 @@
+"""Deterministic gameplay-session simulator.
+
+The reference's input domain is real captured gameplay (main.cpp:16-52:
+a directory of raw frame dumps from an emulator).  No captures exist in
+this environment, so tests sample synthetic clips — but the geometric
+clips in `utils.testing` are iid-noise worlds with random-walk cameras,
+which is *easier* than real content in exactly the ways that matter:
+
+- real game worlds are built from a **tileset that repeats exactly**
+  (the adversarial regime for bounded joins: every tile interior code
+  recurs once per visible tile instance),
+- real cameras **follow a player** — long constant-velocity runs,
+  standing still, axis-locked scrolling, dead-zone kicks — instead of a
+  per-frame iid step,
+- real sprites are **animated** (shape changes frame to frame), not
+  translated rectangles,
+- real HUDs have **changing digits** (score/timer) inside an otherwise
+  static chrome.
+
+This module is a tiny deterministic "game": a tile-built side-scrolling
+level, a player with gravity/jump physics driven by a seeded policy, a
+dead-zone camera, patrolling animated enemies, and a score/timer HUD.
+Every run is a pure function of its seed, so a session can serve as a
+permanent differential fixture against the compiled reference binary
+(tests/differential/test_ref_gameplay.py).
+
+Nothing here imports JAX; frames are plain uint8 [H, W] palette-index
+arrays exactly like the reference's raw dumps (nil.hpp:13-32).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+TILE = 16  # tile edge in pixels; tiles repeat EXACTLY, like real games
+
+
+# ---------------------------------------------------------------------------
+# Tileset: procedurally drawn but structured (bricks, ground, sky, pipes...)
+# so repeated instances are pixel-identical while the *layout* is aperiodic.
+# ---------------------------------------------------------------------------
+
+def _speckle(t: np.ndarray, rng: np.random.Generator, color: int) -> None:
+    """Diagonal single-pixel dither grain: one speck per row at column
+    (5*r + phase) mod TILE — every row AND every column of the tile has
+    exactly one speck (gcd(5,16)=1), so every screen pixel sees change
+    under any scroll direction — which is what the aws heatmap needs on
+    flat-color art.  The specks stay ISOLATED (adjacent rows' specks
+    are 5 columns apart): no 3x3 window holds more than one and no 5x5
+    more than two, so neither median moves (kpe.hpp:308-324) and the
+    grain adds ZERO keypoints — it cannot inflate the join's
+    repetition counts."""
+    phase = int(rng.integers(0, TILE))
+    for r in range(TILE):
+        t[r, (5 * r + phase) % TILE] = color
+
+
+def _tile_sky(rng: np.random.Generator) -> np.ndarray:
+    t = np.full((TILE, TILE), 6, np.uint8)  # blue
+    _speckle(t, rng, 14)  # faint dither grain
+    return t
+
+
+def _tile_sky_star(rng: np.random.Generator) -> np.ndarray:
+    t = _tile_sky(rng)
+    ys, xs = rng.integers(1, TILE - 1, 4), rng.integers(1, TILE - 1, 4)
+    t[ys, xs] = 1  # white specks
+    t[ys[0], (xs[0] + 1) % TILE] = 3  # one twinkle
+    return t
+
+
+def _tile_cloud(rng: np.random.Generator) -> np.ndarray:
+    t = _tile_sky(rng)
+    yy, xx = np.mgrid[0:TILE, 0:TILE]
+    blob = ((yy - 8) ** 2 / 9.0 + (xx - 8) ** 2 / 25.0) < 4.0
+    t[blob] = 1
+    t[blob & (yy > 9)] = 15  # grey underside
+    return t
+
+
+def _tile_brick(rng: np.random.Generator) -> np.ndarray:
+    t = np.full((TILE, TILE), 8, np.uint8)  # orange
+    t[::4, :] = 9  # mortar rows (brown)
+    for r in range(4):  # vertical joints, alternating half-brick offset
+        t[r * 4 : r * 4 + 4, (r % 2) * 4 :: 8] = 9
+    t[0, :] = 7  # highlight (yellow)
+    weather = rng.random((TILE, TILE)) < 0.10  # chipped faces
+    weather[t != 8] = False
+    t[weather] = 2
+    return t
+
+
+def _tile_ground(rng: np.random.Generator) -> np.ndarray:
+    """Turf surface: detail only in the top rows, flat dirt below
+    (real games keep the dirt body flat — and a flat body contributes
+    zero keypoints, keeping exact-tile code repetition in the bounded
+    regime the matcher's stability bounds are built for)."""
+    t = np.full((TILE, TILE), 9, np.uint8)  # brown
+    t[0:2, :] = 5  # green turf
+    speck = rng.random((4, TILE)) < 0.18
+    speck[0:2] = False
+    t[:4][speck] = 2  # red pebbles under the turf only
+    return t
+
+
+def _tile_dirt(rng: np.random.Generator) -> np.ndarray:
+    t = np.full((TILE, TILE), 9, np.uint8)  # flat dirt body
+    _speckle(t, rng, 2)  # soil grain (isolated: no keypoints)
+    return t
+
+
+def _tile_rock(rng: np.random.Generator) -> np.ndarray:
+    t = np.full((TILE, TILE), 9, np.uint8)
+    y, x = int(rng.integers(3, TILE - 6)), int(rng.integers(3, TILE - 6))
+    t[y : y + 3, x : x + 4] = 15  # grey rock
+    t[y, x] = 1                   # highlight
+    return t
+
+
+def _tile_block(rng: np.random.Generator) -> np.ndarray:
+    t = np.full((TILE, TILE), 7, np.uint8)  # yellow
+    t[[0, -1], :] = 9
+    t[:, [0, -1]] = 9
+    t[4:12, 4:12] = 8
+    t[7:9, 7:9] = 1
+    return t
+
+
+def _tile_pipe(rng: np.random.Generator) -> np.ndarray:
+    t = np.full((TILE, TILE), 5, np.uint8)  # green
+    t[:, [0, 1, -2, -1]] = 13  # light green rim
+    t[:, [4, 11]] = 3  # cyan sheen
+    t[rng.integers(2, TILE - 2, 3), rng.integers(5, 11, 3)] = 13  # scuffs
+    return t
+
+
+def _tile_bush(rng: np.random.Generator) -> np.ndarray:
+    t = _tile_sky(rng)
+    yy, xx = np.mgrid[0:TILE, 0:TILE]
+    blob = ((yy - 12) ** 2 / 16.0 + (xx - 8) ** 2 / 30.0) < 3.0
+    t[blob] = 5
+    t[blob & ((xx + yy) % 5 == 0)] = 13
+    return t
+
+
+def _tile_fence(rng: np.random.Generator) -> np.ndarray:
+    t = _tile_sky(rng)
+    t[6:, 2::5] = 9
+    t[8, :] = 9
+    t[12, :] = 9
+    return t
+
+
+def make_tileset(rng: np.random.Generator) -> np.ndarray:
+    """[n_tiles, TILE, TILE] uint8 — index 0 is sky (the 'empty' tile)."""
+    makers = [
+        _tile_sky, _tile_sky_star, _tile_cloud, _tile_brick, _tile_ground,
+        _tile_block, _tile_pipe, _tile_bush, _tile_fence, _tile_dirt,
+        _tile_rock, _tile_rock,
+    ]
+    return np.stack([m(rng) for m in makers])
+
+
+(SKY, SKY_STAR, CLOUD, BRICK, GROUND, BLOCK, PIPE, BUSH, FENCE, DIRT,
+ ROCK_A, ROCK_B) = range(12)
+SOLID = frozenset({BRICK, GROUND, BLOCK, PIPE, DIRT, ROCK_A, ROCK_B})
+
+
+# ---------------------------------------------------------------------------
+# Level: a side-scrolling strip of tile columns with varied ground height,
+# platforms, pipes and decorations.  Aperiodic layout over exact tiles.
+# ---------------------------------------------------------------------------
+
+def make_level(
+    rng: np.random.Generator, cols: int, rows: int
+) -> np.ndarray:
+    """[rows, cols] int tile-index map."""
+    lvl = np.zeros((rows, cols), np.int64)
+    # sparse sky decorations
+    for c in range(cols):
+        for r in range(rows - 8):
+            p = rng.random()
+            if p < 0.035:
+                lvl[r, c] = CLOUD
+            elif p < 0.14:
+                lvl[r, c] = SKY_STAR
+    ground = rows - 4
+    ground_at = np.full(cols, rows - 4, np.int64)
+    c = 0
+    while c < cols:
+        run = int(rng.integers(3, 9))
+        step = int(rng.integers(-1, 2))
+        # rolling hills spanning ~10 tiles of height so the camera's
+        # vertical follow actually engages on climbs
+        ground = int(np.clip(ground + step, rows - 12, rows - 2))
+        for cc in range(c, min(c + run, cols)):
+            ground_at[cc] = ground
+            lvl[ground, cc] = GROUND
+            # dirt body: flat, with sparse exact-repeating rock tiles
+            for rr in range(ground + 1, rows):
+                p = rng.random()
+                lvl[rr, cc] = (
+                    ROCK_A if p < 0.03 else ROCK_B if p < 0.06 else DIRT
+                )
+            # decorations on the turf
+            p = rng.random()
+            if p < 0.10 and ground - 1 >= 0:
+                lvl[ground - 1, cc] = BUSH
+            elif p < 0.18 and ground - 1 >= 0:
+                lvl[ground - 1, cc] = FENCE
+        # occasional pipe
+        if rng.random() < 0.25 and c + run < cols - 2:
+            h = int(rng.integers(1, 3))
+            lvl[ground - h : ground, min(c + run - 2, cols - 1)] = PIPE
+        c += run
+    # floating platforms + block rows, a few tiles above the local turf
+    n_plat = cols // 6
+    for _ in range(n_plat):
+        pc = int(rng.integers(2, cols - 6))
+        pr = int(ground_at[pc] - rng.integers(3, 6))
+        ln = int(rng.integers(2, 5))
+        kind = BRICK if rng.random() < 0.6 else BLOCK
+        lvl[pr, pc : pc + ln] = kind
+        if rng.random() < 0.3:
+            lvl[pr, pc + ln // 2] = BLOCK
+    return lvl
+
+
+def render_world(level: np.ndarray, tiles: np.ndarray) -> np.ndarray:
+    """Expand the tile map into the pixel world [rows*TILE, cols*TILE]."""
+    rows, cols = level.shape
+    world = tiles[level]  # [rows, cols, TILE, TILE]
+    return world.transpose(0, 2, 1, 3).reshape(rows * TILE, cols * TILE)
+
+
+def solid_mask(level: np.ndarray) -> np.ndarray:
+    return np.isin(level, list(SOLID))
+
+
+# ---------------------------------------------------------------------------
+# Sprites: small bitmap shapes with a transparent key (255), two-phase
+# walk animation.
+# ---------------------------------------------------------------------------
+
+_T = 255  # transparent
+
+PLAYER_FRAMES = [
+    np.array(
+        [
+            [_T, _T, 2, 2, 2, 2, _T, _T],
+            [_T, 2, 2, 2, 2, 2, 2, _T],
+            [_T, 10, 10, 1, 10, 1, _T, _T],
+            [_T, 10, 10, 10, 10, 10, _T, _T],
+            [_T, _T, 2, 2, 2, _T, _T, _T],
+            [_T, 2, 2, 2, 2, 2, _T, _T],
+            [_T, 9, 9, _T, 9, 9, _T, _T],
+            [_T, 9, _T, _T, _T, 9, _T, _T],
+        ],
+        np.uint8,
+    ),
+    np.array(
+        [
+            [_T, _T, 2, 2, 2, 2, _T, _T],
+            [_T, 2, 2, 2, 2, 2, 2, _T],
+            [_T, 10, 10, 1, 10, 1, _T, _T],
+            [_T, 10, 10, 10, 10, 10, _T, _T],
+            [_T, _T, 2, 2, 2, _T, _T, _T],
+            [_T, 2, 2, 2, 2, 2, _T, _T],
+            [_T, 9, 9, 9, 9, _T, _T, _T],
+            [_T, _T, 9, _T, 9, _T, _T, _T],
+        ],
+        np.uint8,
+    ),
+]
+
+ENEMY_FRAMES = [
+    np.array(
+        [
+            [_T, _T, 4, 4, 4, 4, _T, _T],
+            [_T, 4, 4, 4, 4, 4, 4, _T],
+            [4, 1, 4, 4, 4, 4, 1, 4],
+            [4, 4, 4, 4, 4, 4, 4, 4],
+            [_T, 0, 0, _T, _T, 0, 0, _T],
+        ],
+        np.uint8,
+    ),
+    np.array(
+        [
+            [_T, _T, 4, 4, 4, 4, _T, _T],
+            [_T, 4, 4, 4, 4, 4, 4, _T],
+            [4, 1, 4, 4, 4, 4, 1, 4],
+            [4, 4, 4, 4, 4, 4, 4, 4],
+            [_T, _T, 0, 0, 0, 0, _T, _T],
+        ],
+        np.uint8,
+    ),
+]
+
+
+def _draw_sprite(frame: np.ndarray, spr: np.ndarray, x: int, y: int) -> None:
+    h, w = spr.shape
+    fh, fw = frame.shape
+    x0, y0 = max(x, 0), max(y, 0)
+    x1, y1 = min(x + w, fw), min(y + h, fh)
+    if x1 <= x0 or y1 <= y0:
+        return
+    cut = spr[y0 - y : y1 - y, x0 - x : x1 - x]
+    region = frame[y0:y1, x0:x1]
+    frame[y0:y1, x0:x1] = np.where(cut == _T, region, cut)
+
+
+# ---------------------------------------------------------------------------
+# HUD: 3x5 digit font, score / timer counters that actually change.
+# ---------------------------------------------------------------------------
+
+_FONT = {
+    "0": ["111", "101", "101", "101", "111"],
+    "1": ["010", "110", "010", "010", "111"],
+    "2": ["111", "001", "111", "100", "111"],
+    "3": ["111", "001", "111", "001", "111"],
+    "4": ["101", "101", "111", "001", "001"],
+    "5": ["111", "100", "111", "001", "111"],
+    "6": ["111", "100", "111", "101", "111"],
+    "7": ["111", "001", "010", "010", "010"],
+    "8": ["111", "101", "111", "101", "111"],
+    "9": ["111", "101", "111", "001", "111"],
+    "S": ["011", "100", "010", "001", "110"],
+    "C": ["011", "100", "100", "100", "011"],
+    "O": ["111", "101", "101", "101", "111"],
+    "R": ["110", "101", "110", "101", "101"],
+    "E": ["111", "100", "110", "100", "111"],
+    "T": ["111", "010", "010", "010", "010"],
+    "I": ["111", "010", "010", "010", "111"],
+    "M": ["101", "111", "111", "101", "101"],
+    " ": ["000", "000", "000", "000", "000"],
+}
+
+
+def _draw_text(
+    frame: np.ndarray, text: str, x: int, y: int, color: int, scale: int = 2
+) -> None:
+    for ch in text:
+        glyph = _FONT.get(ch, _FONT[" "])
+        for r, row in enumerate(glyph):
+            for c, bit in enumerate(row):
+                if bit == "1":
+                    frame[
+                        y + r * scale : y + (r + 1) * scale,
+                        x + c * scale : x + (c + 1) * scale,
+                    ] = color
+        x += 4 * scale
+
+
+# ---------------------------------------------------------------------------
+# The session: physics, camera, enemies, HUD — one deterministic playthrough.
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class Session:
+    frames: List[np.ndarray]
+    #: camera (x, y) per frame in world pixels
+    camera: List[Tuple[int, int]]
+    world: np.ndarray
+
+
+def _policy(rng: np.random.Generator, n: int) -> List[Tuple[int, bool]]:
+    """Seeded 'player inputs': (walk direction, jump pressed) per frame.
+    Direction persists for runs of frames — like a human holding right."""
+    out: List[Tuple[int, bool]] = []
+    while len(out) < n:
+        kind = rng.random()
+        if kind < 0.75:
+            d, run = 1, int(rng.integers(14, 40))   # pushing on
+        elif kind < 0.90:
+            d, run = 0, int(rng.integers(8, 24))    # idling
+        else:
+            d, run = -1, int(rng.integers(6, 14))   # short backtracks
+        for i in range(run):
+            jump = rng.random() < 0.06
+            out.append((d, jump))
+    return out[:n]
+
+
+def play_session(
+    seed: int,
+    n_frames: int,
+    frame_hw: Tuple[int, int],
+    hud_rows: int = 24,
+    border: int = 8,
+    n_enemies: int = 3,
+    level_cols: int = 140,
+    level_rows: Optional[int] = None,
+) -> Session:
+    """Simulate one deterministic playthrough and render its capture.
+
+    The returned frames look like the reference's input domain
+    (main.cpp:16-52): a fixed screen with a static chrome (border), a
+    HUD whose digits change, and an action window onto a tile-built
+    world with animated foreground sprites.
+    """
+    fh, fw = frame_hw
+    rng = np.random.default_rng(0xC0FFEE + seed)
+    # action window above a BOTTOM status bar (the C64-era layout).
+    # The bar must be at the bottom for a reason the reference shares:
+    # aws's best-contour tie-break is first-discovered-wins
+    # (std::min_element over score 0 ties, aws.hpp:62-69 + row-major
+    # contour discovery) — a TOP bar with changing digits would latch a
+    # tiny digit blob as "best" forever and the window would never be
+    # accepted, in both pipelines alike.
+    aw_y0, aw_y1 = border, fh - hud_rows - border
+    aw_x0, aw_x1 = border, fw - border
+    ah, aw = aw_y1 - aw_y0, aw_x1 - aw_x0
+
+    if level_rows is None:
+        # tall enough that hills/jumps drive the vertical camera too
+        level_rows = ah // TILE + 11
+    tiles = make_tileset(rng)
+    level = make_level(rng, level_cols, level_rows)
+    world = render_world(level, tiles)
+    solid = np.kron(solid_mask(level), np.ones((TILE, TILE), bool))
+    wh, ww = world.shape
+
+    # player state (world pixel coords, feet-relative physics)
+    px, py = TILE * 3.0, 0.0
+    vx, vy = 0.0, 0.0
+    on_ground = False
+    inputs = _policy(rng, n_frames)
+
+    # enemies: patrol [x0, x1] at ground height
+    enemies = []
+    for _ in range(n_enemies):
+        ex = float(rng.integers(TILE * 8, ww - TILE * 8))
+        span = float(rng.integers(TILE * 2, TILE * 6))
+        enemies.append({
+            "x": ex, "x0": ex - span, "x1": ex + span,
+            "dir": 1.0 if rng.random() < 0.5 else -1.0,
+        })
+
+    def feet_floor(x: float, y: float) -> float:
+        """Lowest free y (sprite top) so the 8x8 player stands on solid."""
+        xi = int(np.clip(x + 4, 0, ww - 1))
+        col = solid[:, xi]
+        yi = int(np.clip(y + 8, 0, wh - 1))
+        below = np.flatnonzero(col[yi:])
+        if len(below):
+            return float(yi + below[0] - 8)
+        return float(wh - 8)
+
+    # start standing
+    py = feet_floor(px, 0.0)
+    cam_x = float(np.clip(px - aw // 2, 0, ww - aw))
+    cam_y = float(np.clip(py - ah // 2, 0, wh - ah))
+
+    frames: List[np.ndarray] = []
+    camera: List[Tuple[int, int]] = []
+    score = 0
+
+    for t in range(n_frames):
+        d, jump = inputs[t]
+        vx = 0.82 * vx + 0.60 * d
+        if jump and on_ground:
+            vy = -5.2
+            on_ground = False
+        vy = min(vy + 0.45, 6.0)  # gravity
+        px = float(np.clip(px + vx, 0, ww - 9))
+        floor = feet_floor(px, py)
+        py = py + vy
+        if py >= floor:
+            py, vy, on_ground = floor, 0.0, True
+        # dead-zone camera: only move when the player leaves the middle
+        dz = aw // 12
+        tgt = px - aw / 2
+        if px - cam_x < aw / 2 - dz:
+            cam_x = max(cam_x - min(3.0, (cam_x - tgt)), 0.0)
+        elif px - cam_x > aw / 2 + dz:
+            cam_x = min(cam_x + min(3.0, (tgt - cam_x)), ww - aw)
+        ty = py - ah / 2
+        if abs(ty - cam_y) > TILE // 2:
+            cam_y = float(np.clip(
+                cam_y + np.clip(ty - cam_y, -2.0, 2.0), 0, wh - ah
+            ))
+        cxi, cyi = int(round(cam_x)), int(round(cam_y))
+
+        # enemies step + animate
+        for e in enemies:
+            e["x"] += e["dir"] * 0.8
+            if e["x"] <= e["x0"] or e["x"] >= e["x1"]:
+                e["dir"] *= -1.0
+        if t % 7 == 0:
+            score += int(rng.integers(0, 25))
+
+        # ---- render ----
+        frame = np.full((fh, fw), 14, np.uint8)  # chrome: light blue
+        view = world[cyi : cyi + ah, cxi : cxi + aw].copy()
+        # world-anchored enemies (foreground for fde/fdf)
+        for e in enemies:
+            ey = feet_floor(e["x"], 0.0) + 3  # 5-px tall sprite on ground
+            _draw_sprite(
+                view, ENEMY_FRAMES[(t // 6) % 2],
+                int(e["x"]) - cxi, int(ey) - cyi,
+            )
+        # the player (screen-anchored via camera); idle frames still
+        # animate — a slow walk-cycle "breathing" flip, like real sprites
+        phase = (t // 4) % 2 if abs(vx) > 0.2 else (t // 10) % 2
+        _draw_sprite(
+            view, PLAYER_FRAMES[phase], int(px) - cxi, int(py) - cyi
+        )
+        frame[aw_y0:aw_y1, aw_x0:aw_x1] = view
+        # bottom status bar: chrome + live counters
+        hy = fh - hud_rows
+        frame[hy:] = 0
+        _draw_text(frame, "SCORE", 12, hy + 4, 1)
+        _draw_text(frame, f"{score % 1000000:06d}", 60, hy + 4, 7)
+        _draw_text(frame, "TIME", fw - 120, hy + 4, 1)
+        _draw_text(frame, f"{max(0, 400 - t // 2):03d}", fw - 76, hy + 4, 7)
+        frames.append(frame)
+        camera.append((cxi, cyi))
+
+    return Session(frames=frames, camera=camera, world=world)

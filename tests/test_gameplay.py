@@ -1,0 +1,121 @@
+"""The gameplay-session simulator (utils.gameplay): determinism and
+capture-realism properties.
+
+The simulator exists to stand in for real recorded gameplay
+(main.cpp:16-52's input domain) — so the properties asserted here are
+exactly the ones that make real captures harder than iid synthetic
+clips: exact-repeating tiles, run/stop dead-zone camera motion, animated
+foreground, changing HUD digits inside static chrome.
+"""
+
+import numpy as np
+
+from remap_tpu.utils import gameplay
+
+
+def _session(**kw):
+    args = dict(seed=5, n_frames=120, frame_hw=(312, 388))
+    args.update(kw)
+    return gameplay.play_session(**args)
+
+
+def test_deterministic():
+    a = _session()
+    b = _session()
+    assert len(a.frames) == len(b.frames) == 120
+    for fa, fb in zip(a.frames, b.frames):
+        np.testing.assert_array_equal(fa, fb)
+    assert a.camera == b.camera
+
+
+def test_frame_contract():
+    s = _session()
+    for f in s.frames:
+        assert f.shape == (312, 388) and f.dtype == np.uint8
+        assert f.max() < 16  # 4-bit palette indices (nil.hpp:13-32)
+
+
+def test_camera_is_gameplay_shaped():
+    """Dead-zone camera: runs of zero motion AND runs of full-speed
+    scrolling — not an iid random walk."""
+    s = _session(n_frames=300)
+    d = np.diff(np.array(s.camera), axis=0)
+    assert np.abs(d).max() <= 3  # within the matcher's envelope
+    still = (np.abs(d).sum(axis=1) == 0)
+    assert still.sum() >= 30, "camera never rests"
+    assert (~still).sum() >= 60, "camera never scrolls"
+    # the session must cover multiple screens' worth of world
+    cam = np.array(s.camera)
+    assert cam[:, 0].max() - cam[:, 0].min() >= 300
+
+
+def test_world_tiles_repeat_exactly():
+    """Tile instances are pixel-identical (the real-capture regime the
+    bounded join's stability proofs exist for, docs/INTERNALS.md §8)."""
+    s = _session()
+    w = s.world
+    T = gameplay.TILE
+    tiles = w.reshape(w.shape[0] // T, T, w.shape[1] // T, T)
+    tiles = tiles.transpose(0, 2, 1, 3).reshape(-1, T, T)
+    flat = tiles.reshape(len(tiles), -1)
+    uniq = np.unique(flat, axis=0)
+    assert len(uniq) < len(flat) / 8, (
+        "world is not tile-repetitive enough to model real captures"
+    )
+
+
+def test_hud_digits_change_inside_static_chrome():
+    s = _session()
+    f0, f100 = s.frames[0], s.frames[100]
+    hud_diff = (f0[-24:] != f100[-24:])  # bottom status bar
+    assert hud_diff.any(), "HUD counters never changed"
+    assert hud_diff.mean() < 0.25, "HUD chrome is not mostly static"
+    # border chrome is fully static
+    np.testing.assert_array_equal(f0[:8], f100[:8])
+    np.testing.assert_array_equal(f0[:, :8], f100[:, :8])
+    np.testing.assert_array_equal(f0[:, -8:], f100[:, -8:])
+
+
+def test_sprites_animate():
+    """Foreground must change shape frame to frame (not just translate):
+    some frame pair with zero camera motion still differs inside the
+    action window."""
+    s = _session(n_frames=200)
+    cam = np.array(s.camera)
+    d = np.abs(np.diff(cam, axis=0)).sum(axis=1)
+    still = np.flatnonzero(d == 0)
+    changed = 0
+    for t in still[:40]:
+        a = s.frames[t][8:-32, 8:-8]
+        b = s.frames[t + 1][8:-32, 8:-8]
+        if (a != b).any():
+            changed += 1
+    assert changed >= 10, "no animated foreground on still frames"
+
+
+def test_matcher_recovers_camera_on_gameplay_content():
+    """Our real (JAX) collect pass declares the true camera delta on a
+    gameplay session — tile repetition, sparse sky regions and all."""
+    from remap_tpu.config import PipelineConfig
+    from remap_tpu.core.regions import make_layout
+    from remap_tpu.pipeline import collect as collect_mod
+    from remap_tpu.pipeline.state import FrameStore
+
+    s = _session(n_frames=64, seed=9)
+    # pre-cropped action window (aws discovery is covered by the e2e
+    # differential; this unit pins the matcher alone)
+    frames = [f[8:-32, 8:-8] for f in s.frames]
+    h, w = frames[0].shape
+    cfg = PipelineConfig(
+        screen_width=w, screen_height=h, frame_batch=32,
+        region_capacity=1024,
+    )
+    layout = make_layout(w, h, cfg.grid_width, cfg.grid_height,
+                         cfg.grid_overlap)
+    offsets, matched, *_ = collect_mod.match_pass(
+        iter(frames), layout, cfg, FrameStore(h, w)
+    )
+    cam = np.array(s.camera[:64])
+    true = np.diff(cam, axis=0)
+    assert matched[1:].all(), "gameplay content must match frame to frame"
+    np.testing.assert_array_equal(offsets[1:], true)
