@@ -393,6 +393,7 @@ def play_session(
     n_enemies: int = 3,
     level_cols: int = 140,
     level_rows: Optional[int] = None,
+    hud_pos: str = "bottom",
 ) -> Session:
     """Simulate one deterministic playthrough and render its capture.
 
@@ -403,14 +404,18 @@ def play_session(
     """
     fh, fw = frame_hw
     rng = np.random.default_rng(0xC0FFEE + seed)
-    # action window above a BOTTOM status bar (the C64-era layout).
-    # The bar must be at the bottom for a reason the reference shares:
-    # aws's best-contour tie-break is first-discovered-wins
-    # (std::min_element over score 0 ties, aws.hpp:62-69 + row-major
-    # contour discovery) — a TOP bar with changing digits would latch a
-    # tiny digit blob as "best" forever and the window would never be
-    # accepted, in both pipelines alike.
-    aw_y0, aw_y1 = border, fh - hud_rows - border
+    # action window beside the status bar.  The DEFAULT layout puts the
+    # bar at the BOTTOM (the common C64-era layout) for a reason the
+    # reference shares: aws's best-contour tie-break is
+    # first-discovered-wins (std::min_element over score-0 ties,
+    # aws.hpp:62-69 + row-major contour discovery), so a TOP bar with
+    # changing digits latches a tiny digit blob as "best" forever and
+    # the window is never accepted — in both pipelines alike
+    # (PARITY.md "top-HUD window quirk"; hud_pos="top" reproduces it).
+    if hud_pos == "top":
+        aw_y0, aw_y1 = hud_rows + border, fh - border
+    else:
+        aw_y0, aw_y1 = border, fh - hud_rows - border
     aw_x0, aw_x1 = border, fw - border
     ah, aw = aw_y1 - aw_y0, aw_x1 - aw_x0
 
@@ -509,9 +514,9 @@ def play_session(
             view, PLAYER_FRAMES[phase], int(px) - cxi, int(py) - cyi
         )
         frame[aw_y0:aw_y1, aw_x0:aw_x1] = view
-        # bottom status bar: chrome + live counters
-        hy = fh - hud_rows
-        frame[hy:] = 0
+        # status bar: chrome + live counters
+        hy = 0 if hud_pos == "top" else fh - hud_rows
+        frame[hy : hy + hud_rows] = 0
         _draw_text(frame, "SCORE", 12, hy + 4, 1)
         _draw_text(frame, f"{score % 1000000:06d}", 60, hy + 4, 7)
         _draw_text(frame, "TIME", fw - 120, hy + 4, 1)

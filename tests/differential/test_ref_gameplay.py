@@ -112,3 +112,25 @@ def test_ref_gameplay_session(ref_binary, tmp_path):
     assert painted >= 0.90, (
         f"only {painted:.1%} of the map canvas is painted"
     )
+
+
+def test_ref_gameplay_top_hud_quirk(ref_binary, tmp_path):
+    """The top-HUD window quirk (PARITY.md): live digits ABOVE the play
+    area latch aws's score-0 tie-break (std::min_element +
+    first-discovery order, aws.hpp:62-69) on a tiny digit blob, so the
+    window is never accepted and NO maps come out — of either pipeline.
+    A 90-frame session is plenty: the timer digit changes by frame 2 and
+    owns the tie from then on."""
+    session = gameplay.play_session(
+        seed=3, n_frames=90, frame_hw=(FH, FW), hud_pos="top"
+    )
+    clip_dir = tmp_path / "tophud"
+    _write_clip(session.frames, clip_dir)
+
+    ref_out = tmp_path / "refout"
+    ref_out.mkdir()
+    pngs = ref_full.run_reference(ref_binary, clip_dir, ref_out)
+    assert pngs == [], "the reference accepted a window despite the quirk"
+
+    our_maps = _run_ours(clip_dir)
+    assert our_maps == [], "we accepted a window the reference rejects"
