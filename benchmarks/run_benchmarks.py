@@ -35,7 +35,7 @@ def result(name, fps, extra=""):
 
 
 def bench_stream(name, h, w, capacity=768, matcher="grid_vote", seconds=6.0,
-                 batch=256, multiplicity=1):
+                 batch=256, multiplicity=1, frames=None, vote_radius=16):
     import jax
 
     from bench import make_clip
@@ -48,13 +48,14 @@ def bench_stream(name, h, w, capacity=768, matcher="grid_vote", seconds=6.0,
         screen_width=w, screen_height=h,
         region_capacity=capacity, frame_batch=B, matcher=matcher,
         join_multiplicity=multiplicity,  # overflow asserted below
-        vote_radius=16,
+        vote_radius=vote_radius,
     )
     layout = make_layout(w, h, cfg.grid_width, cfg.grid_height,
                          cfg.grid_overlap)
     init, step = make_streaming_step(layout, cfg, atlas_pad=128)
     step = jax.jit(step, donate_argnums=(1,))
-    frames = make_clip(B * 4, h, w)
+    if frames is None:
+        frames = make_clip(B * 4, h, w)
     batches = [jax.device_put(x) for x in np.split(frames, 4, axis=0)]
 
     state = init()
@@ -106,6 +107,32 @@ def bench_multiclip(seconds=6.0):
     result("8-clip vmap batch align+stitch at 256x240", fps)
 
 
+def bench_gameplay(seconds=6.0):
+    """Streaming throughput on SIMULATED GAMEPLAY (utils.gameplay): a
+    tile-built platformer playthrough — exact-repeating tile codes
+    (join repeats ~5-8 per region), keypoint-sparse sky/dirt regions,
+    dead-zone run/stop camera, animated sprites.  The realistic
+    counterpart of the iid-noise configs above; multiplicity 16 covers
+    the tileset's repetition exactly (the no-overflow assertion inside
+    bench_stream is the proof)."""
+    from remap_tpu.utils import gameplay
+
+    session = gameplay.play_session(
+        seed=11, n_frames=1024, frame_hw=(312, 388), level_cols=420
+    )
+    # pre-cropped action window (aws runs once per clip, not per frame)
+    frames = np.stack([f[8:-32, 8:-8] for f in session.frames])
+    # exact-repeating tiles vote at +-16k offsets, so no fixed vote
+    # radius is provably exact here (the stability bound flags every
+    # frame at radius 16 — correctly); gameplay runs the exact
+    # full-range counting path, multiplicity 16 (zero join flags).
+    bench_stream(
+        "align+stitch gameplay session 372x272 grid_vote",
+        frames.shape[1], frames.shape[2],
+        multiplicity=16, frames=frames, vote_radius=0,
+    )
+
+
 def bench_pyramid(seconds=6.0):
     import jax
     import jax.numpy as jnp
@@ -154,6 +181,7 @@ def main():
                  capacity=3072, batch=128)
     bench_multiclip()
     bench_pyramid()
+    bench_gameplay()
 
 
 if __name__ == "__main__":
