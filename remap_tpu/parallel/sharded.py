@@ -63,9 +63,24 @@ def make_pipeline_step(
     atlas_pad: int = 64,
     use_pallas: bool | None = None,
 ):
-    """Build the jittable [C, T, H, W] -> StepResult function."""
+    """Build the jittable [C, T, H, W] -> StepResult function.
+
+    The alignment engine follows ``cfg.matcher``: ``grid_vote`` runs the
+    reference-parity extract/tables/vote path; ``xcorr``/``pyramid`` run
+    the dense-correlation families on consecutive frame pairs (the
+    stitch/positions plumbing is identical).  All three therefore shard
+    the same way over a ``('data', 'space')`` mesh — BASELINE.json
+    config 5 names "pyramid coarse-to-fine correlation" for the
+    pod-slice 640x480 case, and this is the sharded entry point for it.
+    """
     h, w = layout.height, layout.width
     ah, aw = h + 2 * atlas_pad, w + 2 * atlas_pad
+
+    pair_match = None
+    if cfg.matcher != "grid_vote":
+        from remap_tpu import models
+
+        pair_match = models.get_matcher(cfg.matcher, cfg)
 
     from remap_tpu.ops.pallas import blit as pblit
 
@@ -79,36 +94,45 @@ def make_pipeline_step(
     def step(images: jax.Array) -> StepResult:
         c, t = images.shape[:2]
 
-        dense = jax.vmap(
-            lambda im: kpe_ops.extract_dense(im, layout, use_pallas)
-        )(images)
-        tabs = jax.vmap(
-            lambda wgt, cod: table_ops.build_tables(
-                wgt, cod, layout, cfg.region_capacity, cfg.table_mode
-            )
-        )(dense.weight, dense.codes)
+        if pair_match is None:
+            dense = jax.vmap(
+                lambda im: kpe_ops.extract_dense(im, layout, use_pallas)
+            )(images)
+            tabs = jax.vmap(
+                lambda wgt, cod: table_ops.build_tables(
+                    wgt, cod, layout, cfg.region_capacity, cfg.table_mode
+                )
+            )(dense.weight, dense.codes)
 
-        prev = jax.tree.map(lambda a: a[:, :-1], tabs)
-        curr = jax.tree.map(lambda a: a[:, 1:], tabs)
-        res = jax.vmap(
-            lambda p, cr: kpm_ops.match_tables(
-                p,
-                cr,
-                layout,
-                weight_switch=cfg.match.weight_switch,
-                region_votes=cfg.match.region_votes,
-                min_active_divisor=cfg.min_active_divisor,
-                runner_up_divisor=cfg.runner_up_divisor,
-                multiplicity=cfg.join_multiplicity,
-                vote_radius=cfg.vote_radius,
+            prev = jax.tree.map(lambda a: a[:, :-1], tabs)
+            curr = jax.tree.map(lambda a: a[:, 1:], tabs)
+            res = jax.vmap(
+                lambda p, cr: kpm_ops.match_tables(
+                    p,
+                    cr,
+                    layout,
+                    weight_switch=cfg.match.weight_switch,
+                    region_votes=cfg.match.region_votes,
+                    min_active_divisor=cfg.min_active_divisor,
+                    runner_up_divisor=cfg.runner_up_divisor,
+                    multiplicity=cfg.join_multiplicity,
+                    vote_radius=cfg.vote_radius,
+                )
+            )(prev, curr)
+            pair_offsets, pair_ok = res.offset, res.ok
+        else:
+            off, ok = pair_match(
+                images[:, :-1].reshape(c * (t - 1), h, w),
+                images[:, 1:].reshape(c * (t - 1), h, w),
             )
-        )(prev, curr)
+            pair_offsets = off.reshape(c, t - 1, 2)
+            pair_ok = ok.reshape(c, t - 1)
 
         offsets = jnp.concatenate(
-            [jnp.zeros((c, 1, 2), jnp.int32), res.offset], axis=1
+            [jnp.zeros((c, 1, 2), jnp.int32), pair_offsets], axis=1
         )
         matched = jnp.concatenate(
-            [jnp.zeros((c, 1), bool), res.ok], axis=1
+            [jnp.zeros((c, 1), bool), pair_ok], axis=1
         )
         positions = segmented_positions(offsets, matched)
 
@@ -368,7 +392,14 @@ def make_sharded_step(
     cfg: PipelineConfig,
     atlas_pad: int = 64,
 ):
-    """jit the pipeline step over a ('data', 'space') mesh."""
+    """jit the pipeline step over a ('data', 'space') mesh.
+
+    Works for every matcher family (``cfg.matcher``): clips shard over
+    ``data`` for all of them; ``space`` shards frame/atlas rows — the
+    grid_vote window sums get halo collective-permutes, while the
+    correlation families' FFTs make XLA gather the sharded axis (dense
+    correlation is global by nature; shard ``data`` first for them).
+    """
     step = make_pipeline_step(layout, cfg, atlas_pad)
     in_s = NamedSharding(mesh, P("data", None, "space", None))
     out_s = StepResult(

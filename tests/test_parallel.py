@@ -60,6 +60,42 @@ def test_sharded_step_matches_single_device():
     np.testing.assert_array_equal(np.asarray(rs.atlas), np.asarray(rp.atlas))
 
 
+@pytest.mark.parametrize("family", ["xcorr", "pyramid"])
+def test_sharded_step_correlation_families(family):
+    """BASELINE config 5 names pyramid matching for the pod-slice case:
+    the sharded step must run the correlation families too, equal to the
+    unsharded step (clips over 'data'; the FFTs force XLA to gather the
+    'space'-sharded frame axis — correct, just not where their
+    parallelism comes from)."""
+    rng = np.random.default_rng(17)
+    world = testing.make_world(420, 540, rng, tile=8)
+    clips = []
+    for s in range(4):
+        x0, y0 = 40 + 60 * s, 30 + 40 * s
+        path = [(x0 + 5 * i, y0 + 3 * i) for i in range(4)]
+        clips.append(np.stack(testing.render_clip(world, path, (192, 256)).frames))
+    images = np.stack(clips)  # [4, 4, 192, 256]
+
+    cfg = PipelineConfig(
+        screen_width=256, screen_height=192, region_capacity=512,
+        frame_batch=4, matcher=family,
+    )
+    layout = make_layout(256, 192, 4, 2, 16)
+    mesh = mesh_lib.make_mesh(8, space=2)  # data 4, space 2
+    sharded = make_sharded_step(mesh, layout, cfg, atlas_pad=32)
+    plain = jax.jit(make_pipeline_step(layout, cfg, atlas_pad=32))
+
+    rs = sharded(images)
+    rp = plain(images)
+    np.testing.assert_array_equal(np.asarray(rs.offsets), np.asarray(rp.offsets))
+    np.testing.assert_array_equal(np.asarray(rs.matched), np.asarray(rp.matched))
+    np.testing.assert_array_equal(np.asarray(rs.atlas), np.asarray(rp.atlas))
+    # the known camera deltas must be recovered on every clip
+    offs = np.asarray(rs.offsets)
+    assert np.asarray(rs.matched)[:, 1:].all()
+    assert (offs[:, 1:] == np.array([5, 3], np.int32)).all()
+
+
 def test_streaming_reanchors_on_long_drift():
     """A drift far past atlas_pad must stitch exactly: the resident atlas
     shifts in-device under the camera instead of clamping positions."""
