@@ -384,6 +384,435 @@ def _policy(rng: np.random.Generator, n: int) -> List[Tuple[int, bool]]:
     return out[:n]
 
 
+# ---------------------------------------------------------------------------
+# Top-down genre: a flip-screen adventure (4-direction movement, the camera
+# pans one whole window per screen edge crossed, warp tiles teleport across
+# the world).  The platformer above exercises mostly-horizontal scrolling;
+# this genre covers what it cannot:
+#
+# - LONG STATIC-CAMERA runs (the camera only moves during screen flips and
+#   warps): most matches declare offset (0,0) with only sprite-animation
+#   differences,
+# - fast axis-locked pans on BOTH axes (8 px/frame over a whole window),
+# - camera teleports (warps) -> guaranteed match failures -> fragment
+#   breaks, so the SPLICE stage runs on gameplay content (the platformer
+#   yields a single fragment),
+# - wall/tree/water tiles repeating in 2-D mazes (the platformer's
+#   repetition is row-structured).
+# ---------------------------------------------------------------------------
+
+def _tile_tfloor(rng: np.random.Generator) -> np.ndarray:
+    t = np.full((TILE, TILE), 8, np.uint8)  # sandy floor
+    _speckle(t, rng, 9)  # isolated grain: zero keypoints (see _speckle)
+    return t
+
+
+def _tile_tfloor_crack(rng: np.random.Generator) -> np.ndarray:
+    t = _tile_tfloor(rng)
+    y = int(rng.integers(3, TILE - 4))
+    x = int(rng.integers(3, TILE - 5))
+    t[y, x : x + 3] = 9
+    t[y + 1, x + 1] = 9
+    return t
+
+
+def _tile_twall(rng: np.random.Generator) -> np.ndarray:
+    t = np.full((TILE, TILE), 15, np.uint8)  # grey block wall
+    t[::8, :] = 0
+    t[:, ::8] = 0
+    t[1, 1:8] = 1  # highlight
+    scuff = rng.random((TILE, TILE)) < 0.06
+    scuff[t != 15] = False
+    t[scuff] = 12
+    # grain over the mortar lines too: the uniform black rows/columns of
+    # a full-width (or full-height) wall otherwise never change under an
+    # axis pan, slicing the aws heatmap's changed region (see _speckle)
+    _speckle(t, rng, 12)
+    return t
+
+
+def _tile_twater(rng: np.random.Generator) -> np.ndarray:
+    t = np.full((TILE, TILE), 6, np.uint8)  # blue
+    t[2::5, :] = 14  # static wave bands
+    t[3::5, 1::4] = 1  # foam specks
+    return t
+
+
+def _tile_ttree(rng: np.random.Generator) -> np.ndarray:
+    t = _tile_tfloor(rng)
+    yy, xx = np.mgrid[0:TILE, 0:TILE]
+    blob = ((yy - 7) ** 2 + (xx - 8) ** 2) < 36
+    t[blob] = 5
+    t[blob & ((xx * 3 + yy * 5) % 7 == 0)] = 13
+    t[13:15, 7:9] = 9  # trunk
+    return t
+
+
+def _tile_trock(rng: np.random.Generator) -> np.ndarray:
+    t = _tile_tfloor(rng)
+    t[5:12, 4:12] = 15
+    t[5, 4:12] = 1
+    t[11, 4:12] = 0
+    return t
+
+
+def _tile_twarp(rng: np.random.Generator) -> np.ndarray:
+    t = _tile_tfloor(rng)
+    yy, xx = np.mgrid[0:TILE, 0:TILE]
+    ring = np.abs(((yy - 8) ** 2 + (xx - 8) ** 2) - 25) < 8
+    t[ring] = 4  # purple swirl
+    t[7:9, 7:9] = 0
+    return t
+
+
+def make_tileset_topdown(rng: np.random.Generator) -> np.ndarray:
+    makers = [
+        _tile_tfloor, _tile_tfloor_crack, _tile_twall, _tile_twater,
+        _tile_ttree, _tile_trock, _tile_twarp,
+    ]
+    return np.stack([m(rng) for m in makers])
+
+
+(TFLOOR, TFLOOR_CRACK, TWALL, TWATER, TTREE, TROCK, TWARP) = range(7)
+SOLID_TOPDOWN = frozenset({TWALL, TWATER, TTREE, TROCK})
+
+
+def make_level_topdown(
+    rng: np.random.Generator, rows: int, cols: int
+) -> np.ndarray:
+    """[rows, cols] tile map: a walled maze of chambers over repeating
+    floor, with ponds, trees and rocks (warps are placed by the session,
+    which knows the spawn's reachable component)."""
+    lvl = np.zeros((rows, cols), np.int64)
+    lvl[rng.random((rows, cols)) < 0.08] = TFLOOR_CRACK
+    # perimeter wall
+    lvl[[0, -1], :] = TWALL
+    lvl[:, [0, -1]] = TWALL
+    # chamber walls every 9-14 tiles with 3-tile door gaps
+    r = 0
+    while True:
+        r += int(rng.integers(9, 15))
+        if r >= rows - 2:
+            break
+        lvl[r, :] = TWALL
+        for _ in range(max(2, cols // 12)):
+            g = int(rng.integers(1, cols - 4))
+            lvl[r, g : g + 3] = TFLOOR
+    c = 0
+    while True:
+        c += int(rng.integers(9, 15))
+        if c >= cols - 2:
+            break
+        keep_doors = []
+        for _ in range(max(2, rows // 12)):
+            g = int(rng.integers(1, rows - 4))
+            keep_doors.append(g)
+        col_was = lvl[:, c].copy()
+        lvl[:, c] = np.where(col_was == TWALL, TWALL, TWALL)
+        for g in keep_doors:
+            lvl[g : g + 3, c] = np.where(
+                col_was[g : g + 3] == TWALL, TWALL, TFLOOR
+            )
+    # scenery on free floor
+    free = ~np.isin(lvl, list(SOLID_TOPDOWN))
+    free[[0, -1], :] = False
+    free[:, [0, -1]] = False
+    for kind, dens in ((TWATER, 0.02), (TTREE, 0.05), (TROCK, 0.03)):
+        put = (rng.random((rows, cols)) < dens) & free
+        lvl[put] = kind
+        free &= ~put
+    # connectivity repair: random walls + scenery can seal chambers;
+    # carve one bridge tile per separated label pair until the interior
+    # is a single 4-connected component (so the auto-pilot and the warp
+    # placement can always reach everywhere)
+    while True:
+        free = ~np.isin(lvl, list(SOLID_TOPDOWN))
+        free[[0, -1], :] = False
+        free[:, [0, -1]] = False
+        labels = np.full(lvl.shape, -1, np.int64)
+        n_labels = 0
+        for r, c in zip(*np.nonzero(free)):
+            if labels[r, c] < 0:
+                labels[_component(free, (int(r), int(c)))] = n_labels
+                n_labels += 1
+        if n_labels <= 1:
+            break
+        carved_pairs = set()
+        for r in range(1, rows - 1):
+            for c in range(1, cols - 1):
+                if free[r, c]:
+                    continue
+                touch = {
+                    int(labels[rr, cc])
+                    for rr, cc in ((r - 1, c), (r + 1, c), (r, c - 1),
+                                   (r, c + 1))
+                    if labels[rr, cc] >= 0
+                }
+                if len(touch) >= 2:
+                    pair = tuple(sorted(touch)[:2])
+                    if pair not in carved_pairs:
+                        carved_pairs.add(pair)
+                        lvl[r, c] = TFLOOR
+        if not carved_pairs:
+            # components only touch diagonally or via the perimeter;
+            # carve around the smallest label's bounding tile instead
+            small = np.argmin(np.bincount(labels[labels >= 0]))
+            rr, cc = [int(v[0]) for v in np.nonzero(labels == small)]
+            lvl[max(rr - 1, 1), cc] = TFLOOR
+            lvl[rr, max(cc - 1, 1)] = TFLOOR
+    return lvl
+
+
+def _component(free: np.ndarray, start: Tuple[int, int]) -> np.ndarray:
+    """Boolean mask of the 4-connected free component containing start."""
+    seen = np.zeros_like(free)
+    if not free[start]:
+        return seen
+    seen[start] = True
+    frontier = [start]
+    while frontier:
+        nxt = []
+        for (r, c) in frontier:
+            for dr, dc in ((0, 1), (1, 0), (0, -1), (-1, 0)):
+                rr, cc = r + dr, c + dc
+                if 0 <= rr < free.shape[0] and 0 <= cc < free.shape[1] \
+                        and free[rr, cc] and not seen[rr, cc]:
+                    seen[rr, cc] = True
+                    nxt.append((rr, cc))
+        frontier = nxt
+    return seen
+
+
+def _bfs_path(
+    free: np.ndarray, start: Tuple[int, int], goal: Tuple[int, int]
+) -> Optional[List[Tuple[int, int]]]:
+    """Shortest 4-connected tile path start -> goal over free tiles, or
+    None if unreachable.  Deterministic (fixed neighbour order)."""
+    rows, cols = free.shape
+    prev = np.full((rows, cols, 2), -1, np.int32)
+    seen = np.zeros((rows, cols), bool)
+    seen[start] = True
+    frontier = [start]
+    while frontier and not seen[goal]:
+        nxt = []
+        for (r, c) in frontier:
+            for dr, dc in ((0, 1), (1, 0), (0, -1), (-1, 0)):
+                rr, cc = r + dr, c + dc
+                if 0 <= rr < rows and 0 <= cc < cols and free[rr, cc] \
+                        and not seen[rr, cc]:
+                    seen[rr, cc] = True
+                    prev[rr, cc] = (r, c)
+                    nxt.append((rr, cc))
+        frontier = nxt
+    if not seen[goal]:
+        return None
+    path = [goal]
+    while path[-1] != start:
+        r, c = path[-1]
+        path.append((int(prev[r, c, 0]), int(prev[r, c, 1])))
+    return path[::-1]
+
+
+def play_topdown_session(
+    seed: int,
+    n_frames: int,
+    frame_hw: Tuple[int, int],
+    hud_rows: int = 24,
+    border: int = 8,
+    n_enemies: int = 4,
+    world_rooms: Tuple[int, int] = (3, 3),
+    warp_cooldown: int = 90,
+    n_warp_pairs: int = 2,
+) -> Session:
+    """Simulate a flip-screen top-down playthrough (see the genre note
+    above).  ``world_rooms`` sizes the world in whole camera windows;
+    the flip grid anchors at the world origin, so camera positions are
+    multiples of the window size except mid-pan (8 px/frame) and after
+    a warp snap."""
+    fh, fw = frame_hw
+    rng = np.random.default_rng(0xD00DAD + seed)
+    aw_y0, aw_y1 = border, fh - hud_rows - border
+    aw_x0, aw_x1 = border, fw - border
+    ah, aw = aw_y1 - aw_y0, aw_x1 - aw_x0
+
+    rooms_y, rooms_x = world_rooms
+    rows = (rooms_y * ah) // TILE + 1
+    cols = (rooms_x * aw) // TILE + 1
+    tiles = make_tileset_topdown(rng)
+    level = make_level_topdown(rng, rows, cols)
+    wh, ww = rooms_y * ah, rooms_x * aw
+    tiles_y, tiles_x = wh // TILE, ww // TILE
+
+    # spawn: the free tile nearest the center of room (0, 0), sprite
+    # centered on it (path targets are tile centers, so alignment holds)
+    ctr_r, ctr_c = (ah // 2) // TILE, (aw // 2) // TILE
+    free_t = ~np.isin(level[:tiles_y, :tiles_x], list(SOLID_TOPDOWN))
+    sr, sc = np.nonzero(free_t[: ah // TILE, : aw // TILE])
+    assert len(sr), "no free spawn tile"
+    i = int(np.argmin(np.abs(sr - ctr_r) + np.abs(sc - ctr_c)))
+    spawn = (int(sr[i]), int(sc[i]))
+    px, py = float(spawn[1] * TILE + 4), float(spawn[0] * TILE + 4)
+
+    # warp pairs: far-apart tiles of the spawn's REACHABLE component, so
+    # the auto-pilot can always path to one (a sealed-chamber seed would
+    # otherwise never break a fragment)
+    comp = _component(free_t, spawn)
+    comp[spawn] = False
+    cr, cc = np.nonzero(comp)
+    warp_pairs: List[Tuple[Tuple[int, int], Tuple[int, int]]] = []
+    for _ in range(n_warp_pairs):
+        for _try in range(64):
+            i, j = rng.integers(0, len(cr), 2)
+            a = (int(cr[i]), int(cc[i]))
+            b = (int(cr[j]), int(cc[j]))
+            d = abs(a[0] - b[0]) + abs(a[1] - b[1])
+            if d > (tiles_y + tiles_x) // 3 and level[a] == TFLOOR \
+                    and level[b] == TFLOOR:
+                level[a], level[b] = TWARP, TWARP
+                warp_pairs.append((a, b))
+                break
+    warp_px = {
+        (r * TILE + TILE // 2, c * TILE + TILE // 2): (
+            pr * TILE + TILE // 2, pc * TILE + TILE // 2
+        )
+        for (a, b) in warp_pairs
+        for ((r, c), (pr, pc)) in ((a, b), (b, a))
+    }
+    warp_tiles = sorted(a for p in warp_pairs for a in p)
+    world = render_world(level, tiles)[:wh, :ww]
+
+    # enemies wander in small boxes around reachable spots
+    enemies = []
+    for _ in range(n_enemies):
+        i = int(rng.integers(0, len(cr)))
+        ex = float(min(cc[i] * TILE, ww - 9))
+        ey = float(min(cr[i] * TILE, wh - 9))
+        enemies.append({
+            "x": ex, "y": ey,
+            "dx": 0.6 if rng.random() < 0.5 else -0.6,
+            "dy": 0.6 if rng.random() < 0.5 else -0.6,
+            "x0": max(ex - 40, 0), "x1": min(ex + 40, ww - 9),
+            "y0": max(ey - 40, 0), "y1": min(ey + 40, wh - 9),
+        })
+
+    # auto-pilot: seeded waypoints + BFS tile paths (a demo-mode player;
+    # random inputs cannot find 3-tile doors in a walled maze)
+    def player_tile() -> Tuple[int, int]:
+        return (int(py + 4) // TILE, int(px + 4) // TILE)
+
+    def pick_path() -> List[Tuple[int, int]]:
+        start = player_tile()
+        for _try in range(32):
+            if warp_tiles and rng.random() < 0.3:
+                goal = warp_tiles[int(rng.integers(0, len(warp_tiles)))]
+            else:
+                i = int(rng.integers(0, len(cr)))
+                goal = (int(cr[i]), int(cc[i]))
+                d = abs(goal[0] - start[0]) + abs(goal[1] - start[1])
+                if d < 4 or d > 28:  # keep plain strolls local
+                    continue
+            if goal == start:
+                continue
+            path = _bfs_path(free_t, start, goal)
+            if path is not None and len(path) > 1:
+                return path[1:]
+        return []
+
+    def flip_target(x: float, y: float) -> Tuple[float, float]:
+        cx = (int(x + 4) // aw) * aw
+        cy = (int(y + 4) // ah) * ah
+        return (
+            float(np.clip(cx, 0, ww - aw)), float(np.clip(cy, 0, wh - ah))
+        )
+
+    cam_x, cam_y = flip_target(px, py)
+    pan_tx, pan_ty = cam_x, cam_y
+    cooldown = 0
+    path: List[Tuple[int, int]] = []
+    idle = 0
+    frames: List[np.ndarray] = []
+    camera: List[Tuple[int, int]] = []
+    score = 0
+
+    for t in range(n_frames):
+        panning = (cam_x, cam_y) != (pan_tx, pan_ty)
+        if panning:
+            # classic flip transition: the world pans, the player freezes.
+            # 7 px/frame, NOT 8: the pan step must be coprime with the
+            # 16-px tile so every screen pixel passes over a tile speck
+            # during a pan (8 only samples two residues mod 16, leaving
+            # never-changed stripes that shred the aws heatmap's changed
+            # region into mini-contours and starve window acceptance)
+            cam_x += float(np.clip(pan_tx - cam_x, -7, 7))
+            cam_y += float(np.clip(pan_ty - cam_y, -7, 7))
+        else:
+            if idle > 0:
+                idle -= 1
+            else:
+                if not path:
+                    if rng.random() < 0.25:
+                        idle = int(rng.integers(8, 30))
+                    path = pick_path()
+                if path and idle == 0:
+                    tr, tc = path[0]
+                    tx_, ty_ = tc * TILE + 4.0, tr * TILE + 4.0
+                    if px != tx_:
+                        px += float(np.clip(tx_ - px, -4, 4))
+                    elif py != ty_:
+                        py += float(np.clip(ty_ - py, -4, 4))
+                    if (px, py) == (tx_, ty_):
+                        path.pop(0)
+            if cooldown > 0:
+                cooldown -= 1
+            key = (
+                ((int(py) + 4) // TILE) * TILE + TILE // 2,
+                ((int(px) + 4) // TILE) * TILE + TILE // 2,
+            )
+            if cooldown == 0 and key in warp_px:
+                ty_, tx_ = warp_px[key]
+                px, py = float(tx_ - 4), float(ty_ - 4)
+                cam_x, cam_y = flip_target(px, py)  # SNAP: fragment break
+                pan_tx, pan_ty = cam_x, cam_y
+                cooldown = warp_cooldown
+                path = []
+            else:
+                pan_tx, pan_ty = flip_target(px, py)
+        cxi, cyi = int(round(cam_x)), int(round(cam_y))
+
+        for e in enemies:
+            e["x"] += e["dx"]
+            e["y"] += e["dy"]
+            if e["x"] <= e["x0"] or e["x"] >= e["x1"]:
+                e["dx"] *= -1.0
+            if e["y"] <= e["y0"] or e["y"] >= e["y1"]:
+                e["dy"] *= -1.0
+        if t % 9 == 0:
+            score += int(rng.integers(0, 9))
+
+        frame = np.full((fh, fw), 14, np.uint8)
+        view = world[cyi : cyi + ah, cxi : cxi + aw].copy()
+        for e in enemies:
+            _draw_sprite(
+                view, ENEMY_FRAMES[(t // 6) % 2],
+                int(e["x"]) - cxi, int(e["y"]) - cyi,
+            )
+        phase = (t // 5) % 2
+        _draw_sprite(
+            view, PLAYER_FRAMES[phase], int(px) - cxi, int(py) - cyi
+        )
+        frame[aw_y0:aw_y1, aw_x0:aw_x1] = view
+        hy = fh - hud_rows
+        frame[hy : hy + hud_rows] = 0
+        _draw_text(frame, "SCORE", 12, hy + 4, 1)
+        _draw_text(frame, f"{score % 1000000:06d}", 60, hy + 4, 7)
+        _draw_text(frame, "TIME", fw - 120, hy + 4, 1)
+        _draw_text(frame, f"{max(0, 800 - t):03d}", fw - 76, hy + 4, 7)
+        frames.append(frame)
+        camera.append((cxi, cyi))
+
+    return Session(frames=frames, camera=camera, world=world)
+
+
 def play_session(
     seed: int,
     n_frames: int,

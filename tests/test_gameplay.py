@@ -93,6 +93,73 @@ def test_sprites_animate():
     assert changed >= 10, "no animated foreground on still frames"
 
 
+# ---------------------------------------------------------------------------
+# Top-down flip-screen genre
+# ---------------------------------------------------------------------------
+
+def _topdown(**kw):
+    args = dict(seed=2, n_frames=300, frame_hw=(312, 388))
+    args.update(kw)
+    return gameplay.play_topdown_session(**args)
+
+
+def test_topdown_deterministic():
+    a, b = _topdown(), _topdown()
+    for fa, fb in zip(a.frames, b.frames):
+        np.testing.assert_array_equal(fa, fb)
+    assert a.camera == b.camera
+
+
+def test_topdown_camera_is_flip_screen_shaped():
+    """The genre's contract: the camera is STATIC except whole-window
+    pans at 7 px/frame and warp snaps; both axes must pan somewhere."""
+    s = _topdown(n_frames=600)
+    cam = np.array(s.camera)
+    d = np.abs(np.diff(cam, axis=0))
+    step = d.max(axis=1)
+    static = step == 0
+    pan = (step > 0) & (step <= 7)
+    snap = step > 7
+    assert static.sum() > len(step) * 0.5, "mostly static camera expected"
+    assert pan.sum() >= 60, "screen-flip pans expected"
+    assert snap.sum() >= 1, "no warp snap in the pinned seed"
+    # pans are axis-locked
+    both = (d[:, 0] > 0) & (d[:, 1] > 0) & pan
+    assert not both.any(), "pans must be axis-locked"
+    # both axes scroll somewhere in the session
+    assert ((d[:, 0] > 0) & pan).any() and ((d[:, 1] > 0) & pan).any()
+    # camera positions outside pans/snaps sit on the flip grid
+    ah, aw = 312 - 24 - 16, 388 - 16
+    at_rest = np.flatnonzero(np.concatenate([[True], static]) &
+                             np.concatenate([static, [True]]))
+    assert (cam[at_rest, 0] % aw == 0).all()
+    assert (cam[at_rest, 1] % ah == 0).all()
+
+
+def test_topdown_warp_is_a_teleport():
+    """The warp snap moves the camera by more than a window on at least
+    one axis — a guaranteed match failure, hence a fragment break."""
+    s = _topdown(n_frames=600)
+    cam = np.array(s.camera)
+    d = np.abs(np.diff(cam, axis=0))
+    snaps = d[d.max(axis=1) > 7]
+    ah, aw = 312 - 24 - 16, 388 - 16
+    assert ((snaps[:, 0] >= aw) | (snaps[:, 1] >= ah)).all()
+
+
+def test_topdown_window_is_discoverable():
+    """aws (the spec) must accept the action window on flip-screen
+    content — the pan speed / tile speckle interplay this genre was
+    tuned for (see play_topdown_session)."""
+    from remap_tpu.spec import aws
+
+    s = _topdown(n_frames=260)
+    w = aws.scan(iter(s.frames))
+    assert w is not None
+    assert (w.crop.left, w.crop.top) == (9, 9)
+    assert (w.crop.right, w.crop.bottom) == (388 - 10, 312 - 24 - 10)
+
+
 def test_matcher_recovers_camera_on_gameplay_content():
     """Our real (JAX) collect pass declares the true camera delta on a
     gameplay session — tile repetition, sparse sky regions and all."""
