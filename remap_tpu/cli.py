@@ -80,7 +80,12 @@ def main(argv=None) -> int:
         )
     from remap_tpu.utils.runtime import setup_cache
 
-    setup_cache()
+    # CPU runs get a host-keyed cache: XLA:CPU AOT entries written on a
+    # different host generation fail to load (see setup_cache).
+    if args.cpu:
+        setup_cache("/root/jax_cache_cpu", per_host=True)
+    else:
+        setup_cache()
 
     from remap_tpu.io import frames as frames_io
     from remap_tpu.io import png as png_io

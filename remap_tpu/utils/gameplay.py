@@ -813,6 +813,433 @@ def play_topdown_session(
     return Session(frames=frames, camera=camera, world=world)
 
 
+# ---------------------------------------------------------------------------
+# Vertical-scroll shooter genre (shmup): the camera NEVER rests — constant
+# 2-3 px/frame upward terrain scroll for the whole session (except short
+# "boss hold" pauses) — and the foreground is DENSE and FAST: enemy wave
+# formations sweeping against the scroll, bullet streams, and expanding
+# explosion animations.  The platformer covers dead-zone run/stop motion
+# and the flip-screen genre covers static-camera pans; this genre covers
+# the opposite regime:
+#
+# - every single frame pair declares a nonzero vertical offset (long
+#   constant-velocity runs, the easiest content to mis-track by ±1 and
+#   never notice — exact camera recovery is asserted per frame),
+# - a large coherent foreground moving AGAINST the terrain (a wave of
+#   enemies all stepping down-screen together casts agreeing wrong-offset
+#   votes — the Borda majority across regions must still follow terrain),
+# - dozens of 1-3 px bullets flickering keypoint codes on and off,
+# - foreground density pushes fde/fdf (many small contours per frame).
+# ---------------------------------------------------------------------------
+
+# Shmup tiles come in per-kind VARIANT sets (real tilesets do: 2-4
+# canopy/wave drawings per terrain, laid per cell) — this keeps exact
+# tile repetition (the bounded-join regime) while dividing each code's
+# repeat count by the variant count, and detail is sparse/isolated
+# (the _speckle rule) so per-region keypoint totals stay inside the
+# default table capacity.  Measured on the pinned differential seed:
+# <=~340 keypoints/region, max code repeat ~36 — repetitive enough to be
+# honest tile-art, yet every declaration's per-row truncation bound
+# holds at the DEFAULT limits (0 table / 0 join flags over 280 frames).
+# Earlier drafts are a cautionary ledger: a dense per-tile canopy
+# lattice measured ~3000 keypoints/region (4x the table), and two
+# band/speckle interference bugs each minted one code repeated 74-153x
+# per region (see the comments in _tile_water_v).
+
+_SHMUP_VARIANTS = 8
+
+
+def _tile_water_v(rng: np.random.Generator) -> np.ndarray:
+    # NO _speckle here: the grain's period-5 diagonal collides with the
+    # period-5 wave bands — the same speck-meets-band 5x5 patch recurs
+    # across instances AND variants (measured: one code repeated 150x
+    # per region).  Under the genre's constant vertical scroll the bands
+    # alone change every pixel (step 2 is coprime with period 5), which
+    # is all the aws heatmap needs; keypoints over open water come from
+    # the sparse rock tiles instead.
+    t = np.full((TILE, TILE), 6, np.uint8)  # deep blue
+    # wave bands at a FIXED phase so they are world-aligned across tile
+    # seams: per-variant phases put adjacent tiles' bands 2 rows apart
+    # somewhere, and that double-band seam is a degenerate keypoint whose
+    # code repeats along the whole row (measured: 74x in one region)
+    t[2::5, :] = 14
+    if rng.random() < 0.5:  # half the variants carry one foam fleck
+        safe_rows = [0, 4, 5, 9, 10, 14, 15]  # >=2 rows from any band
+        y = safe_rows[int(rng.integers(0, len(safe_rows)))]
+        x = int(rng.integers(1, TILE - 3))
+        t[y, x : x + 2] = 1
+    return t
+
+
+def _tile_wrock_v(rng: np.random.Generator) -> np.ndarray:
+    """A rock poking out of the water: the distinctive anchor features
+    that keep every grid region active over open ocean."""
+    t = _tile_water_v(rng)
+    y, x = int(rng.integers(2, TILE - 6)), int(rng.integers(2, TILE - 7))
+    t[y : y + 3, x : x + 4] = 15
+    t[y, x + 1 : x + 3] = 1       # highlight
+    t[y + 3, x : x + 4] = 14      # foam skirt
+    t[y + 1, x] = 0               # shadow
+    return t
+
+
+def _tile_sand_v(rng: np.random.Generator) -> np.ndarray:
+    t = np.full((TILE, TILE), 7, np.uint8)  # yellow
+    _speckle(t, rng, 8)
+    y, x = int(rng.integers(2, TILE - 4)), int(rng.integers(2, TILE - 4))
+    t[y : y + 2, x : x + 2] = 8  # one darker patch per variant
+    return t
+
+
+def _tile_grass_v(rng: np.random.Generator) -> np.ndarray:
+    t = np.full((TILE, TILE), 5, np.uint8)  # green
+    _speckle(t, rng, 13)
+    y, x = int(rng.integers(2, TILE - 3)), int(rng.integers(2, TILE - 3))
+    t[y, x : x + 2] = 13  # one small tuft
+    t[y + 1, x] = 13
+    return t
+
+
+def _tile_forest_v(rng: np.random.Generator) -> np.ndarray:
+    t = np.full((TILE, TILE), 5, np.uint8)
+    _speckle(t, rng, 13)
+    # two small canopy blobs per variant (not a dense lattice: a full
+    # -canopy texture multiplies keypoints by every forest instance)
+    for _ in range(2):
+        y, x = int(rng.integers(2, TILE - 5)), int(rng.integers(2, TILE - 5))
+        t[y : y + 3, x : x + 4] = 13
+        t[y, x] = 5
+        t[y + 2, x + 3] = 9  # shadow corner
+    return t
+
+
+def _tile_runway_v(rng: np.random.Generator) -> np.ndarray:
+    t = np.full((TILE, TILE), 15, np.uint8)  # grey tarmac
+    t[:, 7:9] = 1  # centre line
+    t[int(rng.integers(0, 4))::4, 7:9] = 15  # dash phase per variant
+    _speckle(t, rng, 0)
+    return t
+
+
+def _tile_ridge_v(rng: np.random.Generator) -> np.ndarray:
+    t = _tile_grass_v(rng)
+    y, x = int(rng.integers(4, 8)), int(rng.integers(4, 8))
+    t[y : y + 4, x : x + 5] = 9
+    t[y, x : x + 5] = 8  # lit slope edge
+    return t
+
+
+(WATER, SAND, GRASS, FOREST, RUNWAY, RIDGE, WROCK) = range(7)
+_SHMUP_MAKERS = [
+    _tile_water_v, _tile_sand_v, _tile_grass_v, _tile_forest_v,
+    _tile_runway_v, _tile_ridge_v, _tile_wrock_v,
+]
+
+
+def make_tileset_shmup(rng: np.random.Generator) -> np.ndarray:
+    """[n_kinds * VARIANTS, TILE, TILE]; tile index = kind * VARIANTS + v."""
+    return np.stack([
+        m(rng) for m in _SHMUP_MAKERS for _ in range(_SHMUP_VARIANTS)
+    ])
+
+
+def make_level_shmup(
+    rng: np.random.Generator, rows: int, cols: int
+) -> np.ndarray:
+    """[rows, cols] tile map: an ocean strip with island blobs (sand
+    fringe, grass core, forest/ridge detail) and an occasional runway.
+    Entries are concrete tileset indices (kind * VARIANTS + variant)."""
+    kind = np.full((rows, cols), WATER, np.int64)
+    kind[rng.random((rows, cols)) < 0.05] = WROCK  # open-ocean anchors
+    yy, xx = np.mgrid[0:rows, 0:cols]
+    n_islands = max(3, rows // 6)
+    for _ in range(n_islands):
+        cy = int(rng.integers(2, rows - 2))
+        cx = int(rng.integers(2, cols - 2))
+        ry = float(rng.uniform(1.5, 4.0))
+        rx = float(rng.uniform(1.5, cols / 2.5))
+        d = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2
+        kind[d < 1.6] = SAND
+        kind[d < 1.0] = GRASS
+    grass = kind == GRASS
+    kind[grass & (rng.random((rows, cols)) < 0.35)] = FOREST
+    kind[grass & (rng.random((rows, cols)) < 0.10)] = RIDGE
+    # a runway column through one island
+    grassy_rows = np.nonzero(grass.sum(axis=1) > 4)[0]
+    if len(grassy_rows) > 3:
+        r0 = int(grassy_rows[int(rng.integers(0, len(grassy_rows)))])
+        cands = np.nonzero(grass[r0])[0]
+        c0 = int(cands[len(cands) // 2])
+        r1 = r0
+        while r1 < rows and kind[r1, c0] in (GRASS, FOREST, RIDGE):
+            kind[r1, c0] = RUNWAY
+            r1 += 1
+    variant = rng.integers(0, _SHMUP_VARIANTS, size=(rows, cols))
+    return kind * _SHMUP_VARIANTS + variant
+
+
+PLAYER_SHIP_FRAMES = [
+    np.array(
+        [
+            [_T, _T, _T, 1, _T, _T, _T],
+            [_T, _T, 1, 1, 1, _T, _T],
+            [_T, _T, 1, 3, 1, _T, _T],
+            [1, _T, 1, 3, 1, _T, 1],
+            [1, 1, 1, 1, 1, 1, 1],
+            [1, 1, 2, 1, 2, 1, 1],
+            [_T, _T, 7, _T, 7, _T, _T],
+        ],
+        np.uint8,
+    ),
+    np.array(
+        [
+            [_T, _T, _T, 1, _T, _T, _T],
+            [_T, _T, 1, 1, 1, _T, _T],
+            [_T, _T, 1, 3, 1, _T, _T],
+            [1, _T, 1, 3, 1, _T, 1],
+            [1, 1, 1, 1, 1, 1, 1],
+            [1, 1, 2, 1, 2, 1, 1],
+            [_T, _T, 8, _T, 8, _T, _T],  # exhaust flicker
+        ],
+        np.uint8,
+    ),
+]
+
+ENEMY_SHIP_FRAMES = [
+    np.array(
+        [
+            [4, _T, _T, _T, 4],
+            [4, 4, 4, 4, 4],
+            [_T, 4, 10, 4, _T],
+            [_T, _T, 4, _T, _T],
+        ],
+        np.uint8,
+    ),
+    np.array(
+        [
+            [_T, 4, _T, 4, _T],
+            [4, 4, 4, 4, 4],
+            [_T, 4, 10, 4, _T],
+            [_T, _T, 4, _T, _T],
+        ],
+        np.uint8,
+    ),
+]
+
+EXPLOSION_FRAMES = [
+    np.array([[_T, 7, _T], [7, 1, 7], [_T, 7, _T]], np.uint8),
+    np.array(
+        [
+            [8, _T, 7, _T, 8],
+            [_T, 7, 1, 7, _T],
+            [7, 1, 1, 1, 7],
+            [_T, 7, 1, 7, _T],
+            [8, _T, 7, _T, 8],
+        ],
+        np.uint8,
+    ),
+    np.array(
+        [
+            [2, _T, _T, 8, _T, _T, 2],
+            [_T, 8, _T, _T, _T, 8, _T],
+            [_T, _T, 2, _T, 2, _T, _T],
+            [8, _T, _T, _T, _T, _T, 8],
+            [_T, _T, 2, _T, 2, _T, _T],
+            [_T, 8, _T, _T, _T, 8, _T],
+            [2, _T, _T, 8, _T, _T, 2],
+        ],
+        np.uint8,
+    ),
+]
+
+
+def play_shmup_session(
+    seed: int,
+    n_frames: int,
+    frame_hw: Tuple[int, int],
+    hud_rows: int = 24,
+    border: int = 8,
+    scroll_speed: int = 2,
+    hold_every: int = 150,
+    hold_frames: int = 36,
+) -> Session:
+    """Simulate a vertical-scroll shooter run (see the genre note above).
+
+    The camera scrolls UP the world at ``scroll_speed`` px/frame, pausing
+    for ``hold_frames`` every ``hold_every`` frames (boss holds).  The
+    camera x is locked (classic vertical shmup), so expected offsets are
+    (0, -scroll) during scroll and (0, 0) during holds."""
+    fh, fw = frame_hw
+    rng = np.random.default_rng(0x5C0112 + seed)
+    aw_y0, aw_y1 = border, fh - hud_rows - border
+    aw_x0, aw_x1 = border, fw - border
+    ah, aw = aw_y1 - aw_y0, aw_x1 - aw_x0
+
+    # total scroll distance fixes the world height
+    n_holds = max(0, (n_frames - 1) // hold_every)
+    scrolled = (n_frames - 1 - n_holds * hold_frames) * scroll_speed
+    wh = ah + max(scrolled, 0) + TILE
+    ww = aw
+    tiles = make_tileset_shmup(rng)
+    level = make_level_shmup(rng, wh // TILE + 1, ww // TILE + 1)
+    world = render_world(level, tiles)[:wh, :ww]
+
+    cam_y = wh - ah  # start at the bottom, scroll up
+    hold_left = 0
+    since_hold = 0
+
+    # player (screen coords, darting runs like a human dodging)
+    px, py = aw / 2.0, ah - 40.0
+    pdx, run_left = 0, 0
+
+    enemies: List[dict] = []   # screen coords: {x, y, vx, vy, phase}
+    booms: List[dict] = []     # {x, y, age}
+    pbullets: List[dict] = []  # {x, y}
+    ebullets: List[dict] = []  # {x, y, vx, vy}
+    next_wave = 20
+    score = 0
+
+    frames: List[np.ndarray] = []
+    camera: List[Tuple[int, int]] = []
+
+    for t in range(n_frames):
+        # --- scroll / boss holds
+        if t > 0:
+            if hold_left > 0:
+                hold_left -= 1
+            else:
+                cam_y = max(cam_y - scroll_speed, 0)
+                since_hold += 1
+                if since_hold >= hold_every and cam_y > 0:
+                    hold_left = hold_frames
+                    since_hold = 0
+
+        # --- player darts
+        if run_left == 0:
+            pdx = int(rng.integers(-1, 2)) * 3
+            run_left = int(rng.integers(6, 20))
+        run_left -= 1
+        px = float(np.clip(px + pdx, 8, aw - 15))
+        py = float(np.clip(py + float(rng.integers(-1, 2)), ah - 80, ah - 16))
+        if t % 8 == 0:
+            pbullets.append({"x": px + 3, "y": py - 3})
+
+        # --- enemy waves: formations entering from the top, sweeping down
+        if t == next_wave:
+            n = int(rng.integers(3, 6))
+            x0 = float(rng.integers(20, aw - 20 - 14 * n))
+            vx = float(rng.uniform(-1.2, 1.2))
+            vy = float(rng.uniform(1.5, 2.6))
+            for k in range(n):
+                enemies.append({
+                    "x": x0 + 14 * k, "y": -5.0 - 7 * k,
+                    "vx": vx, "vy": vy, "phase": float(rng.uniform(0, 6.28)),
+                })
+            next_wave = t + int(rng.integers(24, 48))
+        for e in enemies:
+            e["x"] += e["vx"] + 1.3 * np.sin(0.11 * t + e["phase"])
+            e["y"] += e["vy"]
+            if rng.random() < 0.01 and e["y"] > 0:
+                ebullets.append({
+                    "x": e["x"] + 2, "y": e["y"] + 4,
+                    "vx": float(np.clip((px - e["x"]) * 0.02, -1.5, 1.5)),
+                    "vy": 3.0,
+                })
+        enemies = [e for e in enemies if e["y"] < ah + 8 and -8 < e["x"] < aw]
+
+        # --- bullets
+        for b in pbullets:
+            b["y"] -= 4.0
+        for b in ebullets:
+            b["x"] += b["vx"]
+            b["y"] += b["vy"]
+        pbullets = [b for b in pbullets if b["y"] > -4]
+        ebullets = [b for b in ebullets if -4 < b["y"] < ah + 4]
+
+        # --- hits -> explosions
+        survivors = []
+        for e in enemies:
+            hit = None
+            for b in pbullets:
+                if abs(b["x"] - e["x"] - 2) < 4 and abs(b["y"] - e["y"]) < 5:
+                    hit = b
+                    break
+            if hit is not None:
+                pbullets.remove(hit)
+                booms.append({"x": e["x"], "y": e["y"], "age": 0})
+                score += 150
+            else:
+                survivors.append(e)
+        enemies = survivors
+        for bm in booms:
+            bm["age"] += 1
+        booms = [bm for bm in booms if bm["age"] < 9]
+
+        # --- render
+        cyi = int(cam_y)
+        frame = np.full((fh, fw), 0, np.uint8)  # black chrome
+        view = world[cyi : cyi + ah, :].copy()
+        for b in pbullets:
+            _draw_sprite(view, np.full((3, 1), 7, np.uint8),
+                         int(b["x"]), int(b["y"]))
+        for b in ebullets:
+            _draw_sprite(view, np.full((2, 2), 2, np.uint8),
+                         int(b["x"]), int(b["y"]))
+        for e in enemies:
+            _draw_sprite(view, ENEMY_SHIP_FRAMES[(t // 4) % 2],
+                         int(e["x"]), int(e["y"]))
+        for bm in booms:
+            _draw_sprite(view, EXPLOSION_FRAMES[bm["age"] // 3],
+                         int(bm["x"]) - bm["age"] // 3,
+                         int(bm["y"]) - bm["age"] // 3)
+        _draw_sprite(view, PLAYER_SHIP_FRAMES[t % 2], int(px), int(py))
+        frame[aw_y0:aw_y1, aw_x0:aw_x1] = view
+        hy = fh - hud_rows
+        frame[hy : hy + hud_rows] = 0
+        _draw_text(frame, "SCORE", 12, hy + 4, 1)
+        _draw_text(frame, f"{score % 1000000:06d}", 60, hy + 4, 7)
+        _draw_text(frame, "TIME", fw - 120, hy + 4, 1)
+        _draw_text(frame, f"{max(0, 800 - t):03d}", fw - 76, hy + 4, 7)
+        frames.append(frame)
+        camera.append((0, cyi))
+
+    return Session(frames=frames, camera=camera, world=world)
+
+
+# glyph set is {S C O R E T I M, digits, space} (_FONT above)
+_DIALOG_LINES = [
+    "IT IS TIME",
+    "TO RISE 300",
+    "MORE RICE 7",
+    "SECTOR 90",
+    "METEOR 215",
+]
+
+
+def _draw_dialog(
+    view: np.ndarray, t_open: int, lines: List[str]
+) -> None:
+    """A JRPG dialog box over the bottom of the action window: dark fill,
+    double white border, text typed one glyph per 2 frames.  Sized to
+    exceed fde's area limit (area > frame/5 drops the contour from the
+    foreground, fde.hpp:94-100) — the one foreground shape class the
+    small-sprite genres never produce."""
+    ah, aw = view.shape
+    bh = max(ah // 3 + 8, 100)
+    y0 = ah - bh - 6
+    x0, x1 = 10, aw - 10
+    box = view[y0 : y0 + bh, x0:x1]
+    box[:] = 6  # dark blue fill
+    box[[0, 1, -2, -1], :] = 1  # white border
+    box[:, [0, 1, -2, -1]] = 1
+    shown = max(0, t_open) // 2
+    for i, line in enumerate(lines):
+        take = min(len(line), max(0, shown - 6 * i))
+        if take:
+            _draw_text(view, line[:take], x0 + 10,
+                       y0 + 10 + 14 * i, 1)
+
+
 def play_session(
     seed: int,
     n_frames: int,
@@ -823,6 +1250,8 @@ def play_session(
     level_cols: int = 140,
     level_rows: Optional[int] = None,
     hud_pos: str = "bottom",
+    dialog_every: Optional[int] = None,
+    dialog_frames: int = 36,
 ) -> Session:
     """Simulate one deterministic playthrough and render its capture.
 
@@ -942,6 +1371,16 @@ def play_session(
         _draw_sprite(
             view, PLAYER_FRAMES[phase], int(px) - cxi, int(py) - cyi
         )
+        # JRPG dialog interludes: a screen-anchored box over a STILL
+        # -SCROLLING world (autoscroll cutscene style) — its static
+        # keypoints vote (0, 0) against the terrain's true offset, and
+        # its contour exceeds fde's frame/5 area limit
+        if dialog_every and t >= dialog_every \
+                and (t % dialog_every) < dialog_frames:
+            k = (t // dialog_every) * 2
+            lines = [_DIALOG_LINES[(k + i) % len(_DIALOG_LINES)]
+                     for i in range(3)]
+            _draw_dialog(view, t % dialog_every, lines)
         frame[aw_y0:aw_y1, aw_x0:aw_x1] = view
         # status bar: chrome + live counters
         hy = 0 if hud_pos == "top" else fh - hud_rows

@@ -5,17 +5,45 @@ from __future__ import annotations
 import os
 
 
-def setup_cache(path: str = "/root/jax_cache") -> None:
+def setup_cache(path: str = "/root/jax_cache", per_host: bool = False) -> None:
     """Enable JAX's persistent compilation cache.
 
     On the benchmark harness the TPU sits behind a remote-compile tunnel
     where even trivial XLA compiles take minutes; the persistent cache
     amortizes them across processes (measured 205s -> ~0s for a cached
     program).
+
+    ``per_host=True`` suffixes the cache directory with a fingerprint of
+    this host's CPU feature flags.  XLA:CPU caches AOT machine code keyed
+    WITHOUT the target machine features, so entries written on one host
+    generation fail to load on another (``cpu_aot_loader`` error spam +
+    a full recompile per program — a CPU-platform test suite measured
+    minutes slower against a stale cache).  Use it for any cache a
+    CPU-pinned process writes; the TPU cache's programs are compiled for
+    the chip and stay valid across host swaps.
     """
     import jax
 
+    if per_host:
+        path = f"{path}-{_host_fingerprint()}"
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def _host_fingerprint() -> str:
+    """Short stable hash of this host's CPU feature flags (see setup_cache)."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.md5(feats.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.md5(platform.processor().encode()).hexdigest()[:10]

@@ -24,4 +24,4 @@ jax.config.update("jax_platforms", "cpu")
 
 from remap_tpu.utils.runtime import setup_cache  # noqa: E402
 
-setup_cache("/root/jax_cache_cpu")
+setup_cache("/root/jax_cache_cpu", per_host=True)

@@ -160,6 +160,107 @@ def test_topdown_window_is_discoverable():
     assert (w.crop.right, w.crop.bottom) == (388 - 10, 312 - 24 - 10)
 
 
+def test_dialog_interlude_contract():
+    """Dialog boxes: bigger than fde's frame/5 area limit, typed-out
+    text changing inside, world still scrolling behind."""
+    s = _session(n_frames=160, dialog_every=70, dialog_frames=36)
+    base = _session(n_frames=160)
+    ah, aw = 312 - 24 - 16, 388 - 16
+    bh = max(ah // 3 + 8, 100)
+    assert bh * (aw - 20) > (ah * aw) // 5  # exceeds the fde drop limit
+    # box present exactly during the dialog window
+    f_in, f_out = s.frames[80], s.frames[110]
+    box_rows = slice(8 + ah - bh - 6, 8 + ah - 6)
+    assert (f_in[box_rows, 18:-18] == base.frames[80][box_rows, 18:-18]).mean() < 0.6
+    np.testing.assert_array_equal(f_out, base.frames[110])
+    # typewriter: the box interior changes between consecutive frames
+    assert (s.frames[80][box_rows] != s.frames[84][box_rows]).any()
+    # physics/camera are unaffected by the overlay
+    assert s.camera == base.camera
+
+
+# ---------------------------------------------------------------------------
+# Vertical-scroll shooter genre
+# ---------------------------------------------------------------------------
+
+def _shmup(**kw):
+    args = dict(seed=1, n_frames=300, frame_hw=(312, 388))
+    args.update(kw)
+    return gameplay.play_shmup_session(**args)
+
+
+def test_shmup_deterministic():
+    a, b = _shmup(), _shmup()
+    for fa, fb in zip(a.frames, b.frames):
+        np.testing.assert_array_equal(fa, fb)
+    assert a.camera == b.camera
+
+
+def test_shmup_camera_never_rests_except_holds():
+    """The genre's contract: constant upward scroll with x locked,
+    broken only by boss holds — the opposite motion regime of the
+    dead-zone platformer and the flip-screen adventure."""
+    s = _shmup()
+    d = np.diff(np.array(s.camera), axis=0)
+    assert (d[:, 0] == 0).all(), "camera x must be locked"
+    assert set(np.unique(d[:, 1])) == {-2, 0}
+    holds = (d[:, 1] == 0).sum()
+    assert 20 <= holds <= 60, "boss holds missing or too long"
+    # scroll runs are long and uninterrupted
+    assert (d[:, 1] == -2).sum() >= 200
+
+
+def test_shmup_foreground_is_dense_and_fast():
+    """Enemy waves + bullets + explosions: tens of foreground pixels on
+    essentially every frame, and a coherent formation moving AGAINST the
+    scroll somewhere in the session (the wrong-offset voting block the
+    Borda majority must beat)."""
+    s = _shmup()
+    dense = 0
+    for t in range(40, 280):
+        f = s.frames[t][8:-32, 8:-8]
+        if (f == 4).sum() >= 30:  # >= ~2 enemy ships visible
+            dense += 1
+    assert dense >= 180, f"enemy waves too sparse ({dense} dense frames)"
+
+
+def test_shmup_window_is_discoverable():
+    from remap_tpu.spec import aws
+
+    s = _shmup(n_frames=260)
+    w = aws.scan(iter(s.frames))
+    assert w is not None
+    assert (w.crop.left, w.crop.top) == (9, 9)
+    assert (w.crop.right, w.crop.bottom) == (388 - 10, 312 - 24 - 10)
+
+
+def test_shmup_matcher_recovers_constant_scroll():
+    """Every frame pair declares exactly the scroll delta — sustained
+    constant-velocity content where a ±1 mis-track would accumulate
+    silently into a sheared map."""
+    from remap_tpu.config import PipelineConfig
+    from remap_tpu.core.regions import make_layout
+    from remap_tpu.pipeline import collect as collect_mod
+    from remap_tpu.pipeline.state import FrameStore
+
+    s = _shmup(n_frames=64, seed=4)
+    frames = [f[8:-32, 8:-8] for f in s.frames]
+    h, w = frames[0].shape
+    cfg = PipelineConfig(
+        screen_width=w, screen_height=h, frame_batch=32,
+        region_capacity=1024,
+    )
+    layout = make_layout(w, h, cfg.grid_width, cfg.grid_height,
+                         cfg.grid_overlap)
+    offsets, matched, *_ = collect_mod.match_pass(
+        iter(frames), layout, cfg, FrameStore(h, w)
+    )
+    cam = np.array(s.camera[:64])
+    true = np.diff(cam, axis=0)
+    assert matched[1:].all(), "shmup content must match frame to frame"
+    np.testing.assert_array_equal(offsets[1:], true)
+
+
 def test_matcher_recovers_camera_on_gameplay_content():
     """Our real (JAX) collect pass declares the true camera delta on a
     gameplay session — tile repetition, sparse sky regions and all."""
