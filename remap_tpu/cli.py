@@ -48,6 +48,11 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="restart from the latest stage checkpoint under "
                         "--checkpoint-dir instead of recomputing it")
+    p.add_argument("--palette", default="c64",
+                   help="16-color palette: a preset (c64/zx/ega) or a "
+                        "file of 16 RRGGBB hex lines (the reference "
+                        "hardcodes c64, cpl.hpp:77-92); affects the "
+                        "luminance-order tables and PNG input/output")
     p.add_argument("--perf", action="store_true",
                    help="print per-stage fps counters")
     p.add_argument("--cpu", action="store_true",
@@ -65,6 +70,14 @@ def make_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = make_parser().parse_args(argv)
+
+    if args.palette != "c64":
+        from remap_tpu.core import palette
+
+        if args.palette in palette.PRESETS:
+            palette.set_palette(args.palette)
+        else:
+            palette.set_palette(palette.load_palette_file(args.palette))
 
     import jax
 

@@ -76,6 +76,118 @@ NATIVE_TO_ORDERED = np.empty(16, dtype=np.uint8)
 NATIVE_TO_ORDERED[ORDERED_TO_NATIVE] = np.arange(16, dtype=np.uint8)
 
 
+# ---------------------------------------------------------------------------
+# Custom palettes.  The reference hardcodes the C64 palette (cpl.hpp:77-92);
+# real captures come from other machines too, so the active palette is
+# swappable.  All derived tables are recomputed; consumers read them as
+# module attributes at trace time, so `set_palette` also clears JAX's
+# compilation caches (jitted programs bake the tables in as constants).
+# ---------------------------------------------------------------------------
+
+#: Built-in presets: name -> 16 x 0x00RRGGBB.
+PRESETS = {
+    "c64": NATIVE_TO_BLEND.copy(),
+    # ZX Spectrum: 8 basic + 8 bright (colors 8/0 both black, as on the
+    # machine — an intensity TIE, resolved by native-code order below).
+    "zx": np.array(
+        [
+            0x00000000, 0x000000D7, 0x00D70000, 0x00D700D7,
+            0x0000D700, 0x0000D7D7, 0x00D7D700, 0x00D7D7D7,
+            0x00000000, 0x000000FF, 0x00FF0000, 0x00FF00FF,
+            0x0000FF00, 0x0000FFFF, 0x00FFFF00, 0x00FFFFFF,
+        ],
+        dtype=np.uint32,
+    ),
+    # the canonical CGA/EGA 16-color text palette
+    "ega": np.array(
+        [
+            0x00000000, 0x000000AA, 0x0000AA00, 0x0000AAAA,
+            0x00AA0000, 0x00AA00AA, 0x00AA5500, 0x00AAAAAA,
+            0x00555555, 0x005555FF, 0x0055FF55, 0x0055FFFF,
+            0x00FF5555, 0x00FF55FF, 0x00FFFF55, 0x00FFFFFF,
+        ],
+        dtype=np.uint32,
+    ),
+}
+
+
+def _derive(blend: np.ndarray):
+    rgb = np.stack(
+        [
+            (blend >> 16).astype(np.uint8),
+            (blend >> 8).astype(np.uint8),
+            blend.astype(np.uint8),
+        ],
+        axis=1,
+    )
+    intensity = _intensity(rgb)
+    # stable sort: intensity ties (e.g. ZX black/bright-black) rank by
+    # native code order — deterministic and documented (the reference's
+    # consteval std::sort never sees a tie on its one palette)
+    ordered_to_native = np.argsort(intensity, kind="stable").astype(np.uint8)
+    native_to_ordered_t = np.empty(16, dtype=np.uint8)
+    native_to_ordered_t[ordered_to_native] = np.arange(16, dtype=np.uint8)
+    return rgb, intensity, ordered_to_native, native_to_ordered_t
+
+
+def set_palette(blend, *, _clear_caches: bool = True) -> None:
+    """Install a 16-entry palette as the active one.
+
+    ``blend``: a preset name (``'c64'``/``'zx'``/``'ega'``), an array of
+    16 ``0x00RRGGBB`` words, or a [16, 3] uint8 RGB array.  Affects the
+    luminance-order tables (and with them medians/keypoints) and PNG
+    input/output.  Call BEFORE running the pipeline; compiled programs
+    bake the tables in, so the JAX compilation cache is cleared."""
+    global NATIVE_TO_BLEND, NATIVE_TO_RGB, NATIVE_INTENSITY
+    global ORDERED_TO_NATIVE, NATIVE_TO_ORDERED
+    if isinstance(blend, str):
+        try:
+            blend = PRESETS[blend]
+        except KeyError:
+            raise ValueError(
+                f"unknown palette preset {blend!r}; "
+                f"have {sorted(PRESETS)}"
+            ) from None
+    blend = np.asarray(blend)
+    if blend.shape == (16, 3):
+        blend = (
+            (blend[:, 0].astype(np.uint32) << 16)
+            | (blend[:, 1].astype(np.uint32) << 8)
+            | blend[:, 2].astype(np.uint32)
+        )
+    if blend.shape != (16,):
+        raise ValueError(
+            f"palette must be 16 blend words or [16, 3] RGB, "
+            f"got shape {blend.shape}"
+        )
+    blend = blend.astype(np.uint32)
+    NATIVE_TO_BLEND = blend
+    (NATIVE_TO_RGB, NATIVE_INTENSITY,
+     ORDERED_TO_NATIVE, NATIVE_TO_ORDERED) = _derive(blend)
+    if _clear_caches:
+        try:
+            import jax
+
+            jax.clear_caches()
+        except Exception:  # jax not imported/available: nothing baked yet
+            pass
+
+
+def load_palette_file(path: str) -> np.ndarray:
+    """Read a palette file: 16 ``RRGGBB`` hex colors (optionally
+    ``#``-prefixed), one per line; ``;`` or ``//`` comments allowed."""
+    words = []
+    with open(path) as f:
+        for line in f:
+            line = line.split(";")[0].split("//")[0].strip()
+            if not line:
+                continue
+            words.append(int(line.lstrip("#"), 16) & 0x00FFFFFF)
+    if len(words) != 16:
+        raise ValueError(f"{path}: expected 16 colors, got {len(words)}")
+    return np.array(words, dtype=np.uint32)
+
+
 def native_to_ordered(image: np.ndarray) -> np.ndarray:
     """Remap native codes to luminance ranks (cpl.hpp:211-213)."""
     return NATIVE_TO_ORDERED[image]

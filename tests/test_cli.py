@@ -84,3 +84,27 @@ def test_cli_png_format(clip_dir, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     img = np.asarray(Image.open(out + "1.png"))
     assert img.shape[2] == 3
+
+
+def test_cli_custom_palette(clip_dir, tmp_path):
+    """--palette re-derives the luminance tables AND the PNG colors: the
+    same raw clip under 'ega' emits a map drawn in EGA RGB."""
+    out = str(tmp_path / "egamap")
+    r = run_cli(
+        str(clip_dir), "--width", "96", "--height", "72",
+        "--frame-batch", "8", "--region-capacity", "2048",
+        "--palette", "ega", "--out-prefix", out,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    from PIL import Image
+
+    from remap_tpu.core import palette
+
+    img = np.asarray(Image.open(out + "1.png"))
+    colors = {tuple(c) for c in img.reshape(-1, 3)}
+    ega = {tuple(c) for c in
+           palette._derive(palette.PRESETS["ega"])[0].tolist()}
+    assert colors <= ega
+    # and it genuinely differs from the C64 rendering of the same clip
+    c64 = {tuple(c) for c in palette.NATIVE_TO_RGB.tolist()}
+    assert not (colors <= c64)

@@ -64,3 +64,85 @@ def test_layout_single_region():
     lo = make_layout(100, 80, 1, 1, 0)
     assert lo.x_spans == ((2, 98),)
     assert lo.y_spans == ((2, 76),)
+
+
+# ---------------------------------------------------------------------------
+# Custom palettes (new surface: the reference hardcodes C64, cpl.hpp:77-92)
+# ---------------------------------------------------------------------------
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _active_palette(name_or_blend):
+    palette.set_palette(name_or_blend, _clear_caches=False)
+    try:
+        yield
+    finally:
+        palette.set_palette("c64", _clear_caches=False)
+
+
+def test_set_palette_recomputes_tables_and_restores():
+    c64_order = palette.ORDERED_TO_NATIVE.copy()
+    with _active_palette("ega"):
+        assert sorted(palette.ORDERED_TO_NATIVE) == list(range(16))
+        np.testing.assert_array_equal(
+            palette.NATIVE_TO_ORDERED[palette.ORDERED_TO_NATIVE],
+            np.arange(16),
+        )
+        # EGA 15 (white) is the brightest, 0 (black) the darkest
+        assert palette.ORDERED_TO_NATIVE[0] == 0
+        assert palette.ORDERED_TO_NATIVE[-1] == 15
+        assert palette.NATIVE_TO_RGB[9].tolist() == [0x55, 0x55, 0xFF]
+    np.testing.assert_array_equal(palette.ORDERED_TO_NATIVE, c64_order)
+
+
+def test_set_palette_tie_break_is_native_code_order():
+    """ZX black (0) and bright-black (8) share an intensity; the stable
+    sort ranks the smaller native code first — deterministic where the
+    reference's consteval sort never sees a tie."""
+    with _active_palette("zx"):
+        ranks = palette.NATIVE_TO_ORDERED
+        assert palette.NATIVE_INTENSITY[0] == palette.NATIVE_INTENSITY[8]
+        assert ranks[0] + 1 == ranks[8]
+        assert ranks[0] == 0
+
+
+def test_set_palette_accepts_rgb_and_rejects_bad_shapes():
+    import pytest
+
+    rgb = palette.NATIVE_TO_RGB.copy()
+    with _active_palette(rgb):  # [16, 3] RGB round-trips to the same tables
+        np.testing.assert_array_equal(palette.NATIVE_TO_RGB, rgb)
+    with pytest.raises(ValueError):
+        palette.set_palette(np.zeros((15,), np.uint32), _clear_caches=False)
+    with pytest.raises(ValueError):
+        palette.set_palette("amiga", _clear_caches=False)
+
+
+def test_load_palette_file(tmp_path):
+    lines = ["; test palette"] + [
+        f"#{int(w):06X}" for w in palette.PRESETS["ega"]
+    ]
+    f = tmp_path / "pal.txt"
+    f.write_text("\n".join(lines) + "\n")
+    np.testing.assert_array_equal(
+        palette.load_palette_file(str(f)), palette.PRESETS["ega"]
+    )
+
+
+def test_spec_pipeline_under_custom_palette():
+    """The NumPy oracle reconstructs a map under a non-C64 palette: the
+    luminance-order tables (and with them medians/keypoints) really do
+    re-derive from the active palette."""
+    from remap_tpu.spec import pipeline as spec_pipeline
+    from remap_tpu.utils import testing
+
+    rng = np.random.default_rng(5)
+    world = testing.make_world(120, 160, rng)
+    path = testing.make_camera_path(12, (120, 160), (48, 64), rng,
+                                    max_step=3)
+    clip = testing.render_clip(world, path, (48, 64), rng=rng)
+    with _active_palette("ega"):
+        maps = spec_pipeline.build([np.asarray(f) for f in clip.frames])
+    assert len(maps) == 1
