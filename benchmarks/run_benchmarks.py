@@ -133,6 +133,28 @@ def bench_gameplay(seconds=6.0):
     )
 
 
+def bench_gameplay_shmup(seconds=6.0):
+    """The vertical-scroll shooter genre: constant-velocity scroll with
+    a dense hostile foreground (enemy wave formations voting against the
+    terrain, bullet streams, explosions).  Like the platformer row, the
+    tile-exact world repeats codes across instances, so the row runs the
+    exact full-range counting path at multiplicity 16 — measured as the
+    smallest power of two with ZERO join flags across the whole
+    1024-frame session (8 flags at M=8; the no-overflow assertion in
+    bench_stream is the per-run proof)."""
+    from remap_tpu.utils import gameplay
+
+    session = gameplay.play_shmup_session(
+        seed=11, n_frames=1024, frame_hw=(312, 388)
+    )
+    frames = np.stack([f[8:-32, 8:-8] for f in session.frames])
+    bench_stream(
+        "align+stitch shmup session 372x272 grid_vote",
+        frames.shape[1], frames.shape[2],
+        multiplicity=16, frames=frames, vote_radius=0,
+    )
+
+
 def bench_pyramid(seconds=6.0):
     import jax
     import jax.numpy as jnp
@@ -182,6 +204,7 @@ def main():
     bench_multiclip()
     bench_pyramid()
     bench_gameplay()
+    bench_gameplay_shmup()
 
 
 if __name__ == "__main__":
