@@ -6,6 +6,9 @@ Writes gp_frame*.png, gp_map.png, gp_world.png next to this file.
 """
 
 import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).parents[2]))
 
 import numpy as np
 import jax
