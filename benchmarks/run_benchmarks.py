@@ -128,7 +128,7 @@ def bench_gameplay(seconds=6.0):
     # full-range counting path, multiplicity 16 (zero join flags).
     bench_stream(
         "align+stitch gameplay session 372x272 grid_vote",
-        frames.shape[1], frames.shape[2],
+        frames.shape[1], frames.shape[2], seconds=seconds,
         multiplicity=16, frames=frames, vote_radius=0,
     )
 
@@ -150,7 +150,7 @@ def bench_gameplay_shmup(seconds=6.0):
     frames = np.stack([f[8:-32, 8:-8] for f in session.frames])
     bench_stream(
         "align+stitch shmup session 372x272 grid_vote",
-        frames.shape[1], frames.shape[2],
+        frames.shape[1], frames.shape[2], seconds=seconds,
         multiplicity=16, frames=frames, vote_radius=0,
     )
 

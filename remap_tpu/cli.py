@@ -72,12 +72,21 @@ def main(argv=None) -> int:
     args = make_parser().parse_args(argv)
 
     if args.palette != "c64":
+        import os
+
         from remap_tpu.core import palette
 
         if args.palette in palette.PRESETS:
             palette.set_palette(args.palette)
-        else:
+        elif os.path.exists(args.palette):
             palette.set_palette(palette.load_palette_file(args.palette))
+        else:
+            print(
+                f"unknown palette {args.palette!r}: not a preset "
+                f"({'/'.join(sorted(palette.PRESETS))}) and not a file",
+                file=sys.stderr,
+            )
+            return 1
 
     import jax
 

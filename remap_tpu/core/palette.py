@@ -26,6 +26,8 @@ code) and as constants ready to be captured by jitted functions.
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 
 #: 0x00RRGGBB words, C64 palette (cpl.hpp:77-92).
@@ -38,17 +40,6 @@ NATIVE_TO_BLEND = np.array(
     ],
     dtype=np.uint32,
 )
-
-#: [16, 3] uint8 (R, G, B).
-NATIVE_TO_RGB = np.stack(
-    [
-        (NATIVE_TO_BLEND >> 16).astype(np.uint8),
-        (NATIVE_TO_BLEND >> 8).astype(np.uint8),
-        NATIVE_TO_BLEND.astype(np.uint8),
-    ],
-    axis=1,
-)
-
 
 def _intensity(rgb: np.ndarray) -> np.ndarray:
     """The reference's ordering intensity in [0,1], float32: ``0.3*B +
@@ -63,17 +54,34 @@ def _intensity(rgb: np.ndarray) -> np.ndarray:
     ) / np.float32(255.0)
 
 
-#: Per-native-code intensity (float32).
-NATIVE_INTENSITY = _intensity(NATIVE_TO_RGB)
+def _derive(blend: np.ndarray):
+    """All tables from 16 blend words: ([16,3] RGB, intensity,
+    ordered->native, native->ordered).
 
-#: ordered rank -> native code, sorted ascending by intensity
-#: (cpl.hpp:164-182).  The C64 palette has no intensity ties, so the sort is
-#: unambiguous (verified in tests).
-ORDERED_TO_NATIVE = np.argsort(NATIVE_INTENSITY, kind="stable").astype(np.uint8)
+    ordered->native is the ascending-intensity permutation
+    (cpl.hpp:164-182); a STABLE sort ranks intensity ties (e.g. ZX
+    black/bright-black) by native code order — deterministic where the
+    reference's consteval std::sort never sees a tie on its one
+    (tie-free) palette.  native->ordered is the inverse permutation
+    (cpl.hpp:187-205)."""
+    rgb = np.stack(
+        [
+            (blend >> 16).astype(np.uint8),
+            (blend >> 8).astype(np.uint8),
+            blend.astype(np.uint8),
+        ],
+        axis=1,
+    )
+    intensity = _intensity(rgb)
+    ordered_to_native = np.argsort(intensity, kind="stable").astype(np.uint8)
+    native_to_ordered_t = np.empty(16, dtype=np.uint8)
+    native_to_ordered_t[ordered_to_native] = np.arange(16, dtype=np.uint8)
+    return rgb, intensity, ordered_to_native, native_to_ordered_t
 
-#: native code -> ordered rank (inverse permutation, cpl.hpp:187-205).
-NATIVE_TO_ORDERED = np.empty(16, dtype=np.uint8)
-NATIVE_TO_ORDERED[ORDERED_TO_NATIVE] = np.arange(16, dtype=np.uint8)
+
+#: [16, 3] uint8 (R, G, B); per-code intensity; the two rank permutations.
+(NATIVE_TO_RGB, NATIVE_INTENSITY,
+ ORDERED_TO_NATIVE, NATIVE_TO_ORDERED) = _derive(NATIVE_TO_BLEND)
 
 
 # ---------------------------------------------------------------------------
@@ -111,25 +119,6 @@ PRESETS = {
 }
 
 
-def _derive(blend: np.ndarray):
-    rgb = np.stack(
-        [
-            (blend >> 16).astype(np.uint8),
-            (blend >> 8).astype(np.uint8),
-            blend.astype(np.uint8),
-        ],
-        axis=1,
-    )
-    intensity = _intensity(rgb)
-    # stable sort: intensity ties (e.g. ZX black/bright-black) rank by
-    # native code order — deterministic and documented (the reference's
-    # consteval std::sort never sees a tie on its one palette)
-    ordered_to_native = np.argsort(intensity, kind="stable").astype(np.uint8)
-    native_to_ordered_t = np.empty(16, dtype=np.uint8)
-    native_to_ordered_t[ordered_to_native] = np.arange(16, dtype=np.uint8)
-    return rgb, intensity, ordered_to_native, native_to_ordered_t
-
-
 def set_palette(blend, *, _clear_caches: bool = True) -> None:
     """Install a 16-entry palette as the active one.
 
@@ -164,13 +153,13 @@ def set_palette(blend, *, _clear_caches: bool = True) -> None:
     NATIVE_TO_BLEND = blend
     (NATIVE_TO_RGB, NATIVE_INTENSITY,
      ORDERED_TO_NATIVE, NATIVE_TO_ORDERED) = _derive(blend)
-    if _clear_caches:
-        try:
-            import jax
+    if _clear_caches and "jax" in sys.modules:
+        # jitted programs bake the tables in as constants; if jax was
+        # never imported, nothing is baked yet and importing it here
+        # would initialize a backend before the caller configures one
+        import jax
 
-            jax.clear_caches()
-        except Exception:  # jax not imported/available: nothing baked yet
-            pass
+        jax.clear_caches()
 
 
 def load_palette_file(path: str) -> np.ndarray:

@@ -1075,10 +1075,24 @@ def play_shmup_session(
     aw_x0, aw_x1 = border, fw - border
     ah, aw = aw_y1 - aw_y0, aw_x1 - aw_x0
 
-    # total scroll distance fixes the world height
-    n_holds = max(0, (n_frames - 1) // hold_every)
-    scrolled = (n_frames - 1 - n_holds * hold_frames) * scroll_speed
-    wh = ah + max(scrolled, 0) + TILE
+    # total scroll distance fixes the world height.  Replay the exact
+    # hold schedule: holds trigger every `hold_every` SCROLL frames (the
+    # loop's since_hold only counts scrolling frames), so a
+    # holds-per-total-frames estimate undersizes the world on long
+    # sessions and the camera runs out of world and rests at the top
+    # (caught by review on the 1024-frame bench config: 56 px short,
+    # 29 unplanned static frames)
+    scrolled, hold_left, since_hold = 0, 0, 0
+    for _ in range(1, n_frames):
+        if hold_left > 0:
+            hold_left -= 1
+        else:
+            scrolled += scroll_speed
+            since_hold += 1
+            if since_hold >= hold_every:
+                hold_left = hold_frames
+                since_hold = 0
+    wh = ah + scrolled + TILE
     ww = aw
     tiles = make_tileset_shmup(rng)
     level = make_level_shmup(rng, wh // TILE + 1, ww // TILE + 1)

@@ -210,6 +210,21 @@ def test_shmup_camera_never_rests_except_holds():
     assert (d[:, 1] == -2).sum() >= 200
 
 
+def test_shmup_long_session_never_runs_out_of_world():
+    """World sizing must replay the hold schedule exactly: holds fire
+    every `hold_every` SCROLL frames, so a holds-per-total-frames
+    estimate undersizes long sessions and the camera rests at the world
+    top (review-caught on the 1024-frame bench config: 29 unplanned
+    static frames).  Every static frame must belong to a scheduled
+    hold."""
+    s = _shmup(seed=11, n_frames=1024)
+    d = np.diff(np.array(s.camera), axis=0)
+    holds = int((d[:, 1] == 0).sum())
+    scrolls = int((d[:, 1] == -2).sum())
+    assert holds % 36 == 0, f"{holds} static frames: unplanned camera rest"
+    assert holds // 36 == scrolls // 150, "hold count != schedule"
+
+
 def test_shmup_foreground_is_dense_and_fast():
     """Enemy waves + bullets + explosions: tens of foreground pixels on
     essentially every frame, and a coherent formation moving AGAINST the
