@@ -106,25 +106,34 @@ size_t rle_compress(const uint8_t* src, size_t n, uint8_t* out) {
   return w;
 }
 
-// Returns the number of pixels written (<= cap).
+// Strict decode: returns the number of pixels written, or SIZE_MAX if
+// the stream is malformed — an opcode needing bytes beyond the source
+// (truncated pack) or a run writing past cap (corrupt lengths).  The
+// reference's decoder has neither check (nic.hpp:107-166 trusts the
+// stream); real dumps may be damaged, so the production path must not
+// overread or overwrite on untrusted bytes.
 size_t rle_decompress(const uint8_t* src, size_t n, uint8_t* out,
                       size_t cap) {
+  const size_t kBad = static_cast<size_t>(-1);
   size_t r = 0, w = 0;
-  while (r < n && w < cap) {
-    const uint8_t op = src[r];
+  while (r < n) {
+    const uint8_t op = src[r++];
     switch (op & 0xC0) {
       case 0x00: {
         size_t count = (op >> 4) + 3;
+        if (count > cap - w) return kBad;
         const uint8_t color = op & 0x0F;
-        while (count-- && w < cap) out[w++] = color;
+        while (count--) out[w++] = color;
         break;
       }
       case 0x40: {
-        const int bytes = (op >> 4) & 3;
+        const size_t bytes = (op >> 4) & 3;
+        if (bytes > n - r) return kBad;
         size_t len = 0;
-        for (int b = 0; b < bytes; ++b) len |= size_t(src[++r]) << (8 * b);
+        for (size_t b = 0; b < bytes; ++b) len |= size_t(src[r++]) << (8 * b);
+        if (len > cap - w) return kBad;
         const uint8_t color = op & 0x0F;
-        while (len-- && w < cap) out[w++] = color;
+        while (len--) out[w++] = color;
         break;
       }
       default: {
@@ -132,19 +141,21 @@ size_t rle_decompress(const uint8_t* src, size_t n, uint8_t* out,
         if ((op & 0xC0) == 0x80) {
           pixels = op & 0x3F;
         } else {
-          pixels = (size_t(op & 0x3F) << 8) | src[++r];
+          if (r >= n) return kBad;
+          pixels = (size_t(op & 0x3F) << 8) | src[r++];
         }
         const size_t bytes = (pixels >> 1) + (pixels & 1);
+        if (bytes > n - r) return kBad;
+        if (pixels > cap - w) return kBad;
         size_t emitted = 0;
         for (size_t b = 0; b < bytes; ++b) {
-          const uint8_t pair = src[++r];
-          if (w < cap && emitted < pixels) { out[w++] = pair >> 4; ++emitted; }
-          if (w < cap && emitted < pixels) { out[w++] = pair & 0x0F; ++emitted; }
+          const uint8_t pair = src[r++];
+          out[w++] = pair >> 4;
+          if (++emitted < pixels) { out[w++] = pair & 0x0F; ++emitted; }
         }
         break;
       }
     }
-    ++r;
   }
   return w;
 }

@@ -85,16 +85,33 @@ def compress(image: np.ndarray) -> bytes:
     return out[:n].tobytes()
 
 
+#: the native decoder's malformed-stream sentinel (SIZE_MAX)
+_BAD = ctypes.c_size_t(-1).value
+
+
 def decompress(pack: bytes, width: int, height: int) -> np.ndarray:
+    """Strict full-frame decode.
+
+    Raises ValueError on truncated or corrupt packs instead of
+    inheriting the reference decoder's out-of-bounds reads/writes
+    (nic.hpp:107-166 trusts the stream unconditionally) — real dumps
+    may be damaged, and the production ingest path must fail cleanly
+    on untrusted bytes."""
     lib = _native_lib()
     if lib is None:
         return _spec_nic.decompress(pack, width, height)
     src = np.frombuffer(pack, np.uint8)
     out = np.zeros(width * height, np.uint8)
-    lib.rle_decompress(
+    n = lib.rle_decompress(
         src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         src.size,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         out.size,
     )
+    if n != out.size:
+        got = 0 if n == _BAD else n
+        raise ValueError(
+            f"corrupt or truncated RLE pack: decoded {got} of "
+            f"{out.size} pixels"
+        )
     return out.reshape(height, width)

@@ -112,8 +112,19 @@ def compress(image: np.ndarray) -> bytes:
 
 
 def decompress(pack: bytes, width: int, height: int) -> np.ndarray:
-    """nic::decompress (nic.hpp:107-166)."""
-    out = np.zeros(width * height, dtype=np.uint8)
+    """nic::decompress (nic.hpp:107-166).
+
+    Valid streams decode exactly as the reference does.  MALFORMED
+    streams — truncated mid-opcode, or runs writing past the frame —
+    raise ValueError where the reference reads/writes out of bounds
+    (its decoder trusts the stream unconditionally); real dumps may be
+    damaged, and undefined behavior is not a contract worth mirroring.
+    A stream that stops short of the full frame also raises: the
+    reference only ever decodes packs it encoded, which are always
+    exactly ``width*height`` pixels.
+    """
+    total = width * height
+    out = np.zeros(total, dtype=np.uint8)
     pos = 0
     i = 0
     n = len(pack)
@@ -122,23 +133,35 @@ def decompress(pack: bytes, width: int, height: int) -> np.ndarray:
         op = value & 0xC0
         if op == 0x00:
             count = (value >> 4) + 3
+            if pos + count > total:
+                raise ValueError("corrupt RLE pack: repeat run past frame")
             out[pos : pos + count] = value & 0x0F
             pos += count
         elif op == 0x40:
             nbytes = (value >> 4) & 3
+            if i + nbytes >= n:
+                raise ValueError("truncated RLE pack: repeat length cut")
             size = 0
             for b in range(nbytes):
                 i += 1
                 size |= pack[i] << (8 * b)
+            if pos + size > total:
+                raise ValueError("corrupt RLE pack: repeat run past frame")
             out[pos : pos + size] = value & 0x0F
             pos += size
         else:
             if op == 0x80:
                 pixels = value & 0x3F
             else:  # 0xC0
+                if i + 1 >= n:
+                    raise ValueError("truncated RLE pack: literal length cut")
                 i += 1
                 pixels = ((value & 0x3F) << 8) + pack[i]
             nbytes = (pixels >> 1) + (pixels & 1)
+            if i + nbytes >= n:
+                raise ValueError("truncated RLE pack: literal bytes cut")
+            if pos + pixels > total:
+                raise ValueError("corrupt RLE pack: literal run past frame")
             written = 0
             for _ in range(nbytes):
                 i += 1
@@ -151,4 +174,8 @@ def decompress(pack: bytes, width: int, height: int) -> np.ndarray:
                     pos += 1
                     written += 1
         i += 1
+    if pos != total:
+        raise ValueError(
+            f"truncated RLE pack: decoded {pos} of {total} pixels"
+        )
     return out.reshape(height, width)

@@ -72,6 +72,54 @@ def test_native_codec_matches_spec():
         )
 
 
+def _both_decoders():
+    """Both production decode paths: the NumPy spec and (when built)
+    the native C++ codec behind codec.decompress."""
+    paths = [("spec", nic.decompress)]
+    if codec._native_lib() is not None:
+        paths.append(("native", codec.decompress))
+    return paths
+
+
+def test_decompress_rejects_damage():
+    """Truncated/corrupt packs raise ValueError on BOTH decode paths —
+    the reference decoder (nic.hpp:107-166) overreads or overwrites on
+    the same inputs; real dumps may be damaged."""
+    rng = np.random.default_rng(4)
+    vals = rng.integers(0, 16, size=400, dtype=np.uint8)
+    reps = rng.integers(1, 40, size=400)
+    img = np.repeat(vals, reps)[: 64 * 50].reshape(50, 64)
+    pack = nic.compress(img)
+    for name, dec in _both_decoders():
+        np.testing.assert_array_equal(dec(pack, 64, 50), img)
+        for cut in range(0, len(pack), 7):
+            with pytest.raises(ValueError):
+                dec(pack[:cut], 64, 50)
+        # a trailing opcode would write past the frame
+        with pytest.raises(ValueError):
+            dec(pack + bytes([0x35]), 64, 50)
+        # an oversized repeat run (65535 px) ahead of valid data
+        with pytest.raises(ValueError):
+            dec(bytes([0x40 | (2 << 4) | 1, 0xFF, 0xFF]) + pack, 64, 50)
+
+
+def test_decompress_fuzz_never_crashes():
+    """Arbitrary byte blobs: clean ValueError or a well-formed frame —
+    never a crash or an out-of-range palette index.  (Before this
+    round the native decoder read past a truncated source buffer.)"""
+    rng = np.random.default_rng(5)
+    for _ in range(300):
+        blob = rng.integers(
+            0, 256, size=int(rng.integers(1, 400)), dtype=np.uint8
+        ).tobytes()
+        for name, dec in _both_decoders():
+            try:
+                out = dec(blob, 64, 50)
+            except ValueError:
+                continue
+            assert out.shape == (50, 64) and (out < 16).all(), name
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from remap_tpu.config import PipelineConfig
     from remap_tpu.io import checkpoint
