@@ -38,12 +38,16 @@ void read_one(const char* path, int width, int height, int left, int top,
         const uint8_t* row = buf.data() +
             static_cast<size_t>(top + y) * width + left;
         uint8_t* orow = out + static_cast<size_t>(y) * row_bytes;
+        // mask to the 4-bit contract: an out-of-range byte in a damaged
+        // dump must not corrupt its neighbor through the nibble packing
+        // (mirrors RawDirectoryFeed.read; identity on valid dumps)
         int x = 0;
         for (; x + 1 < cw; x += 2) {
-            orow[x / 2] = static_cast<uint8_t>((row[x] << 4) | row[x + 1]);
+            orow[x / 2] = static_cast<uint8_t>(((row[x] & 0x0F) << 4) |
+                                               (row[x + 1] & 0x0F));
         }
         if (x < cw) {
-            orow[x / 2] = static_cast<uint8_t>(row[x] << 4);
+            orow[x / 2] = static_cast<uint8_t>((row[x] & 0x0F) << 4);
         }
     }
 }

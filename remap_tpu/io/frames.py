@@ -119,9 +119,14 @@ class RawDirectoryFeed:
             # unreadable/short files yield a blank frame (nil.hpp:20-22)
             img = np.zeros((self.height, self.width), np.uint8)
         else:
+            # mask to the 4-bit contract: an out-of-range byte in a
+            # damaged dump would otherwise corrupt its NEIGHBOR through
+            # the nibble packing (v<<4 | v2) — the reference inherits
+            # exactly that corruption (nic.hpp:8-105 packs unmasked);
+            # identity on every in-contract input
             img = data[: self.width * self.height].reshape(
                 self.height, self.width
-            )
+            ) & 0x0F
         if self.crop is not None:
             c = self.crop
             img = img[c.top : c.bottom, c.left : c.right]

@@ -33,17 +33,33 @@ def setup_cache(path: str = "/root/jax_cache", per_host: bool = False) -> None:
 
 
 def _host_fingerprint() -> str:
-    """Short stable hash of this host's CPU feature flags (see setup_cache)."""
+    """Short stable hash of this host's CPU identity (see setup_cache).
+
+    Hashes the feature flags AND the family/model/stepping/model-name
+    lines: two hosts can report identical flag sets while LLVM picks
+    different tuning pseudo-features for their microarchitectures
+    (+prefer-no-scatter/+prefer-no-gather), which the AOT loader then
+    rejects — flags alone measured insufficient across a harness host
+    swap."""
     import hashlib
 
+    keys = ("flags", "Features", "model name", "cpu family", "model\t",
+            "model:", "stepping")
+    parts = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
-                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
-                    return hashlib.md5(feats.encode()).hexdigest()[:10]
+                if line.startswith(keys):
+                    val = line.split(":", 1)[1].strip()
+                    entry = f"{line.split(':', 1)[0].strip()}={val}"
+                    if entry not in parts:
+                        parts.append(entry)
+                if line.strip() == "" and parts:
+                    break  # first core's block is enough
     except OSError:
         pass
-    import platform
+    if not parts:
+        import platform
 
-    return hashlib.md5(platform.processor().encode()).hexdigest()[:10]
+        parts = [platform.processor()]
+    return hashlib.md5("|".join(sorted(parts)).encode()).hexdigest()[:10]

@@ -105,15 +105,28 @@ def with_specks(
     rng: np.random.Generator,
     per_frame: int = 12,
     n_colors: int = 16,
+    region: tuple = None,
 ) -> Session:
     """Transient glitches: ``per_frame`` isolated pixels per frame flip
-    to a random palette index, one frame only."""
+    to a random palette index, one frame only.
+
+    ``region`` is an optional (top, bottom, left, right) half-open box
+    confining the glitches — typically the action area.  Specks on the
+    static chrome (border/HUD) during window discovery permanently
+    defeat the reference's aws stage (every glitch re-marks the change
+    heatmap, the best-contour bounds never stagnate, no window is ever
+    accepted, and the whole run emits NOTHING — replicated bit-exactly
+    by our pipeline, pinned in tests/differential/test_ref_wear.py), so
+    wear batteries that want maps out keep specks inside the window."""
+    if region is None:
+        h, w = session.frames[0].shape
+        region = (0, h, 0, w)
+    top, bottom, left, right = region
     frames = []
     for f in session.frames:
         g = f.copy()
-        h, w = g.shape
-        ys = rng.integers(0, h, per_frame)
-        xs = rng.integers(0, w, per_frame)
+        ys = rng.integers(top, bottom, per_frame)
+        xs = rng.integers(left, right, per_frame)
         g[ys, xs] = rng.integers(0, n_colors, per_frame).astype(g.dtype)
         frames.append(g)
     return _clone(session, frames, session.camera)
@@ -124,16 +137,19 @@ def worn(
     seed: int,
     *,
     specks: int = 12,
+    speck_region: tuple = None,
     tear_prob: float = 0.05,
     dup_prob: float = 0.06,
     drop_prob: float = 0.06,
 ) -> Session:
     """The combined capture-wear model, applied in capture order:
     tears happen at scan-out, specks on the stored dump, and the
-    lag/drop cadence reorders what gets written at all."""
+    lag/drop cadence reorders what gets written at all.  See
+    :func:`with_specks` for why ``speck_region`` should usually be the
+    action area."""
     rng = np.random.default_rng(seed)
     s = with_tears(session, rng, tear_prob)
-    s = with_specks(s, rng, specks)
+    s = with_specks(s, rng, specks, region=speck_region)
     s = with_lag(s, rng, dup_prob)
     s = with_drops(s, rng, drop_prob)
     return s

@@ -50,7 +50,9 @@ def test_ref_wear_combined_platformer(ref_binary, tmp_path):
     the map still equals the world almost everywhere — the damage is
     scrubbed, not painted."""
     session = gameplay.play_session(seed=3, n_frames=220, frame_hw=(FH, FW))
-    worn = wear.worn(session, seed=11)
+    # specks stay inside the action window: chrome specks defeat window
+    # discovery outright (see test_ref_wear_chrome_specks_* below)
+    worn = wear.worn(session, seed=11, speck_region=(10, 276, 10, 376))
     assert len(worn.frames) != len(session.frames)  # wear really applied
 
     clip_dir = tmp_path / "worn"
@@ -83,7 +85,10 @@ def test_ref_wear_tear_shmup(ref_binary, tmp_path):
     )
     rng = np.random.default_rng(13)
     worn = wear.with_specks(
-        wear.with_tears(session, rng, tear_prob=0.12), rng, per_frame=8
+        wear.with_tears(session, rng, tear_prob=0.12),
+        rng,
+        per_frame=8,
+        region=(40, 250, 40, 350),
     )
     torn = sum(
         not np.array_equal(a, b)
@@ -107,3 +112,29 @@ def test_ref_wear_tear_shmup(ref_binary, tmp_path):
         f"tear-map painted pixels agree with the world on only {agree:.3%}"
     )
     assert painted >= 0.80
+
+
+def test_ref_wear_chrome_specks_defeat_discovery(ref_binary, tmp_path):
+    """A discovered reference-behavior regime, pinned: glitch pixels on
+    the static chrome (border/HUD) during window discovery re-mark the
+    change heatmap every frame, so aws's best-contour bounds never
+    stagnate (aws.hpp:37-96) — NO window is ever accepted and the run
+    emits NOTHING.  Real captures glitch anywhere, so a user pointing
+    either pipeline at such a dump gets zero maps; both pipelines must
+    agree on that outcome byte-for-byte (cf. the top-HUD quirk, which
+    defeats discovery through the tie-break rather than stagnation)."""
+    session = gameplay.play_session(seed=3, n_frames=90, frame_hw=(FH, FW))
+    rng = np.random.default_rng(17)
+    worn = wear.with_specks(session, rng, per_frame=12)  # anywhere
+
+    clip_dir = tmp_path / "chrome"
+    _write_clip(worn.frames, clip_dir)
+
+    ref_out = tmp_path / "refout"
+    ref_out.mkdir()
+    pngs = ref_full.run_reference(ref_binary, clip_dir, ref_out)
+    assert pngs == [], "the reference accepted a window under chrome specks"
+
+    assert _run_ours(clip_dir) == [], (
+        "we accepted a window the reference rejects under chrome specks"
+    )

@@ -302,3 +302,44 @@ def test_matcher_recovers_camera_on_gameplay_content():
     true = np.diff(cam, axis=0)
     assert matched[1:].all(), "gameplay content must match frame to frame"
     np.testing.assert_array_equal(offsets[1:], true)
+
+
+def test_custom_palette_gameplay_e2e():
+    """The full spec pipeline under the ZX preset on a playthrough:
+    palette indices are palette-independent, but the luminance ORDER
+    rides the palette — medians, keypoint codes, rank walks and splice
+    scoring all change — and the reconstructed map must still equal the
+    index-space world.  This is new surface the hardcoded-C64 reference
+    cannot offer (cpl.hpp:77-92), so the oracle is the simulator's
+    ground truth rather than the binary."""
+    from remap_tpu.core import palette
+    from remap_tpu.spec import pipeline as spec_pipeline
+
+    session = gameplay.play_session(
+        seed=9, n_frames=100, frame_hw=(150, 200)
+    )
+    palette.set_palette("zx", _clear_caches=False)
+    try:
+        maps = spec_pipeline.build(session.frames)
+    finally:
+        palette.set_palette("c64", _clear_caches=False)
+    assert len(maps) == 1
+    m = maps[0]
+
+    cam = np.array(session.camera)  # (x, y) per frame
+    y0, x0 = int(cam[:, 1].min()), int(cam[:, 0].min())
+    painted = m != 0
+    wh, ww = session.world.shape
+    mh, mw = m.shape
+    best = 0.0
+    for dy in range(-4, 12):
+        for dx in range(-4, 12):
+            yy, xx = y0 + dy, x0 + dx
+            if yy < 0 or xx < 0 or yy + mh > wh or xx + mw > ww:
+                continue
+            crop = session.world[yy : yy + mh, xx : xx + mw]
+            best = max(best, float((crop == m)[painted].mean()))
+    assert best >= 0.995, (
+        f"zx-palette map agrees with the world on only {best:.3%}"
+    )
+    assert painted.mean() >= 0.80

@@ -202,3 +202,18 @@ def test_native_feed_packed_batch_parity(tmp_path):
         np.testing.assert_array_equal(cf.read_packed_batch(1, 4), exp_c)
     finally:
         fio._FEED_LIB = lib
+
+
+def test_raw_feed_masks_out_of_range_bytes(tmp_path):
+    """Damaged dumps with bytes >15 must not corrupt NEIGHBOR pixels
+    through the nibble packing (the reference packs unmasked,
+    nic.hpp:8-105); both the NumPy and native batch paths mask."""
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, size=(20, 30), dtype=np.uint8)
+    (tmp_path / "0").write_bytes(img.tobytes())
+    feed = frames_io.RawDirectoryFeed(str(tmp_path), 30, 20)
+    np.testing.assert_array_equal(feed.read(0), img & 0x0F)
+    packed = feed.read_packed_batch(0, 1)
+    expect = img & 0x0F
+    ref = (expect[:, 0::2] << 4) | expect[:, 1::2]
+    np.testing.assert_array_equal(packed[0], ref)

@@ -79,6 +79,20 @@ def test_specks_bounded_per_frame():
     assert any((a != b).any() for a, b in zip(w.frames, s.frames))
 
 
+def test_specks_respect_region():
+    s = _session()
+    rng = np.random.default_rng(6)
+    w = wear.with_specks(s, rng, per_frame=20, region=(10, 50, 20, 100))
+    touched = False
+    for a, b in zip(w.frames, s.frames):
+        d = np.argwhere(a != b)
+        if d.size:
+            touched = True
+            assert d[:, 0].min() >= 10 and d[:, 0].max() < 50
+            assert d[:, 1].min() >= 20 and d[:, 1].max() < 100
+    assert touched
+
+
 def test_worn_is_deterministic():
     s = _session()
     a = wear.worn(s, seed=7)
