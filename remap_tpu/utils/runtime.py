@@ -36,11 +36,13 @@ def _host_fingerprint() -> str:
     """Short stable hash of this host's CPU identity (see setup_cache).
 
     Hashes the feature flags AND the family/model/stepping/model-name
-    lines: two hosts can report identical flag sets while LLVM picks
-    different tuning pseudo-features for their microarchitectures
-    (+prefer-no-scatter/+prefer-no-gather), which the AOT loader then
-    rejects — flags alone measured insufficient across a harness host
-    swap."""
+    lines: two microarchitectures can share a flag set while LLVM tunes
+    them differently, so flags alone under-key the cache.  (Note:
+    ``cpu_aot_loader`` errors about +prefer-no-scatter/+prefer-no-gather
+    are NOT a cross-host signal by themselves — the loader rejects those
+    tuning pseudo-features even on the writing host, while the outer
+    serialized-executable cache still loads; see BENCHMARKS.md
+    "measurement traps".)"""
     import hashlib
 
     keys = ("flags", "Features", "model name", "cpu family", "model\t",
