@@ -1,0 +1,264 @@
+#!/usr/bin/env python
+"""BASELINE config 4 as the FULL five-stage pipeline at 100k frames.
+
+`stream_100k.py` proves the align+stitch half at session scale; this
+script runs the COMPLETE contract (mpb.hpp:28-41) on a 100k-frame
+session: aws window discovery on real chrome, collect over the exact
+session canvas, multi-fragment splice (teleports force fragment breaks,
+fgs.hpp:142-213), fdf's second pass over ALL stored frames
+(fdf.hpp:40-89), and arf + margins on the session-scale canvas
+(arf.hpp:314-328).
+
+Content: a 4096x4096 tile world viewed through a 256x240 screen with an
+8-px static border and a 24-px static bottom HUD (aws must find the
+action window), a gameplay-shaped camera (held runs + rests), two
+mid-session teleports (3 fragments for the splicer), and a wandering
+16x12 sprite drawn over every frame (real work for the foreground pass).
+
+Verification:
+
+- the pipeline returns ONE map (splice re-merged all fragments),
+- the post-foreground blend equals the clean world EXACTLY on every
+  covered pixel (the sprite is scrubbed, not painted),
+- the final cleaned map is reported as a ground-truth agreement
+  fraction (arf legitimately re-votes rare patterns; the gameplay
+  differentials hold >=99.9%).
+
+Reports per-stage wall, end-to-end fps, peak host RSS and device memory.
+
+Usage: python benchmarks/full_session_100k.py [--frames N] [--cpu]
+"""
+
+import argparse
+import json
+import resource
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+H, W = 240, 256                  # screen incl. chrome
+BORDER = 8                       # static border on all sides
+HUD_H = 24                       # static bottom HUD band (above border)
+# action window: rows [BORDER, H-BORDER-HUD_H), cols [BORDER, W-BORDER)
+AH, AW = H - 2 * BORDER - HUD_H, W - 2 * BORDER
+
+
+def make_path(n, wh, ww, rng, teleports):
+    """[n, 2] camera (x, y): held runs + rests, teleport jumps at the
+    given frame indices (far enough that matching must break)."""
+    max_y, max_x = wh - AH, ww - AW
+    pos = np.empty((n, 2), np.int64)
+    x, y = ww // 4, wh // 4
+    i = 0
+    tset = set(teleports)
+    while i < n:
+        if i in tset:
+            x = int(rng.integers(0, max_x))
+            y = int(rng.integers(0, max_y))
+            pos[i] = (x, y)
+            i += 1
+            continue
+        run = int(rng.integers(8, 40))
+        if rng.random() < 0.15:
+            dx = dy = 0
+        else:
+            dx = int(rng.integers(-3, 4))
+            dy = int(rng.integers(-3, 4))
+        for _ in range(min(run, n - i)):
+            if i in tset:
+                break
+            x = int(np.clip(x + dx, 0, max_x))
+            y = int(np.clip(y + dy, 0, max_y))
+            pos[i] = (x, y)
+            i += 1
+    return pos
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=100_096)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--world", type=int, default=4096)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from remap_tpu.utils.runtime import setup_cache
+
+    setup_cache("/root/jax_cache_cpu" if args.cpu else "/root/jax_cache",
+                per_host=args.cpu)
+
+    from remap_tpu.config import PipelineConfig
+    from remap_tpu.ops import atlas as atlas_ops
+    from remap_tpu.pipeline import builder
+    from remap_tpu.pipeline.state import FrameStore
+
+    # session-scale HBM budget: mirror all ~3 GB of packed frames so the
+    # blit + foreground passes gather from HBM instead of re-crossing
+    # the ~50 MB/s tunnel (the default 512 MB cap is sized for clips)
+    FrameStore.DEVICE_MIRROR_CAP = 4 << 30
+
+    rng = np.random.default_rng(404)
+    wh = ww = args.world
+    n = (args.frames // 256) * 256
+
+    # tile world (8-px tiles + 10% noise: bench.py's game-like density)
+    base = rng.integers(0, 16, size=(wh // 8 + 1, ww // 8 + 1),
+                        dtype=np.uint8)
+    base = np.kron(base, np.ones((8, 8), np.uint8))[:wh, :ww]
+    detail = rng.integers(0, 16, size=(wh, ww), dtype=np.uint8)
+    world = np.where(rng.random((wh, ww)) < 0.10, detail,
+                     base).astype(np.uint8)
+
+    teleports = [n // 3, (2 * n) // 3]
+    path = make_path(n, wh, ww, rng, teleports)
+
+    # static chrome: border pattern + HUD glyph band (never changes ->
+    # aws keeps it out of the window)
+    chrome = np.zeros((H, W), np.uint8)
+    chrome[:, :] = 1
+    chrome[::2, ::2] = 9
+    hud_top = H - BORDER - HUD_H
+    chrome[hud_top : H - BORDER, BORDER : W - BORDER] = 6
+    chrome[hud_top + 4 : hud_top + 12, 16:100:3] = 13   # glyph-ish marks
+
+    # wandering sprite (foreground work for fdf): 16x12 two-tone blob
+    sprite = np.full((12, 16), 11, np.uint8)
+    sprite[3:9, 4:12] = 14
+    spr_xy = np.empty((n, 2), np.int64)
+    sx, sy = AW // 2, AH // 2
+    for i in range(n):
+        sx = int(np.clip(sx + rng.integers(-2, 3), 0, AW - 16))
+        sy = int(np.clip(sy + rng.integers(-2, 3), 0, AH - 12))
+        spr_xy[i] = (sx, sy)
+
+    def frames():
+        f = np.empty((H, W), np.uint8)
+        for i in range(n):
+            x, y = path[i]
+            f[:] = chrome
+            view = f[BORDER : BORDER + AH, BORDER : BORDER + AW]
+            view[:] = world[y : y + AH, x : x + AW]
+            ox, oy = spr_xy[i]
+            view[oy : oy + 12, ox : ox + 16] = sprite
+            yield f
+
+    cfg = PipelineConfig(
+        screen_width=W, screen_height=H,
+        region_capacity=768, frame_batch=256,
+        join_multiplicity=1, vote_radius=16,
+    )
+
+    walls = {}
+
+    class TimedCallbacks(builder.Callbacks):
+        def __init__(self):
+            self.t0 = time.perf_counter()
+
+        def _mark(self, name):
+            now = time.perf_counter()
+            walls[name] = round(now - self.t0, 1)
+            self.t0 = now
+            rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss >> 10
+            print(f"[{name}] {walls[name]:8.1f} s   peak RSS {rss} MB",
+                  flush=True)
+
+        def on_window(self, window):
+            self._mark("aws")
+            assert window is not None, "no action window found"
+
+        def on_collect(self, result):
+            self._mark("frc")
+            self.collect = result
+            frags = len(result.fragments)
+            print(f"    fragments: {frags}, overflow_frames: "
+                  f"{result.overflow_frames}", flush=True)
+            assert frags == len(teleports) + 1, frags
+            assert result.overflow_frames == 0
+
+        def on_splice(self, fragments):
+            self._mark("fgs")
+            print(f"    spliced into {len(fragments)}", flush=True)
+            assert len(fragments) == 1, "splice did not re-merge"
+
+        def on_filter(self, fragments):
+            self._mark("fdf")
+            self.filtered = fragments
+
+        def on_clean(self, images):
+            self._mark("arf")
+
+    cb = TimedCallbacks()
+    t_start = time.perf_counter()
+    result = builder.build(frames, cfg, callbacks=cb)
+    wall = time.perf_counter() - t_start
+
+    assert len(result.maps) == 1, len(result.maps)
+
+    # ---- ground truth ----------------------------------------------------
+    # coverage mask + clean world view over the union of camera rects
+    covered = np.zeros((wh, ww), bool)
+    for x, y in path:
+        covered[y : y + AH, x : x + AW] = True
+
+    # post-foreground blend must equal the clean world EXACTLY where its
+    # canvas is painted (every sprite pixel scrubbed)
+    frag = cb.filtered[0]
+    blend = np.asarray(frag.dots).argmax(axis=2).astype(np.uint8)
+    painted = np.asarray(frag.dots).sum(axis=2) > 0
+    ys, xs = np.nonzero(painted)
+    # anchor the canvas to the world: positions are canvas coords of
+    # frame blits; frame k's canvas position p corresponds to world
+    # coords path[k] (action-window views)
+    ref = frag.frames[0]
+    off = (path[ref.number][0] - ref.position[0],
+           path[ref.number][1] - ref.position[1])
+    wy = ys + off[1]
+    wx = xs + off[0]
+    inb = (wy >= 0) & (wy < wh) & (wx >= 0) & (wx < ww)
+    assert inb.all(), "painted canvas pixel outside the world"
+    diff_fg = int((blend[ys, xs] != world[wy, wx]).sum())
+    print(f"post-foreground blend vs world: {diff_fg} differing px of "
+          f"{len(ys)}", flush=True)
+    assert diff_fg == 0, "foreground pass left sprite residue"
+
+    # final cleaned map agreement (arf may re-vote rare patterns)
+    m = result.maps[0]
+    from remap_tpu.pipeline.clean import margins_of
+
+    left, top, right, bottom = margins_of(frag.dots)
+    my, mx = np.nonzero(painted[top : top + m.shape[0],
+                                left : left + m.shape[1]])
+    agree = float(
+        (m[my, mx] == world[my + top + off[1], mx + left + off[0]]).mean()
+    )
+    print(f"final map vs world agreement: {agree:.6f}", flush=True)
+    assert agree >= 0.999
+
+    dev = jax.devices()[0]
+    stats = getattr(dev, "memory_stats", lambda: None)() or {}
+    peak_dev = stats.get("peak_bytes_in_use", 0) >> 20
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss >> 10
+
+    print(json.dumps({
+        "metric": "100k-frame FULL five-stage session "
+                  f"(3 fragments spliced, fdf over {n} stored frames, "
+                  "sprite scrubbed exactly, arf at session scale)",
+        "value": round(n / wall, 1),
+        "unit": "frames/sec/chip",
+        "frames": n,
+        "wall_s": round(wall, 1),
+        "stage_walls_s": walls,
+        "peak_host_rss_mb": rss,
+        "peak_device_mb": peak_dev,
+        "final_map_agreement": round(agree, 6),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

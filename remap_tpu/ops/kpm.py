@@ -187,16 +187,130 @@ def _join_rolled(
         dys.append(shifted(spy, s) - spy)
         valids.append(ok)
 
-    dx = jnp.stack(dxs, axis=1)
-    dy = jnp.stack(dys, axis=1)
-    pair = jnp.stack(valids, axis=1)
+    dx = jnp.stack(dxs, axis=0)
+    dy = jnp.stack(dys, axis=0)
+    pair = jnp.stack(valids, axis=0)
     n_missed = total_true - jnp.sum(pair, dtype=jnp.int32)
-    enum_row = jnp.sum(pair, axis=1, dtype=jnp.int32)        # [2K]
+    enum_row = jnp.sum(pair, axis=0, dtype=jnp.int32)        # [2K]
     rows_missed = jnp.sum(
         is_curr & (n_prev > enum_row), dtype=jnp.int32
     )
     # spx/spy are each sorted row's own (curr-side) coordinates; a pair's
     # prev-side coordinate is spx + dx (used by the cellular matcher).
+    return dx, dy, pair, n_missed, rows_missed, spx, spy
+
+
+def _join_slots(
+    p_codes, p_pos, p_valid,      # [K,4] u32, [K,2] i32, [K] bool
+    c_codes, c_pos, c_sel,
+    multiplicity: int,
+    coord_limit: int,
+):
+    """The slot-major form of :func:`_join_rolled`: same pairs, same
+    truncation accounting, HALF the slot space.
+
+    Key observation: after the 6-operand code sort, every equal-code run
+    holds all its prev entries before all its curr entries (the origin
+    tag bit), so the j-th enumerated partner of EVERY curr row in a run
+    is the SAME prev row — the run's j-th entry.  Instead of enumerating
+    partners at 2*multiplicity backward roll distances (each curr row
+    reaches its j-th partner at a different distance), broadcast each
+    prev row's coordinates down its run once per slot j < multiplicity:
+
+    - emit[j, i] = is_prev[i] & (distance-from-run-start[i] == j)
+    - carry emitted values forward with ONE cumulative max per axis over
+      packed keys ``rid * (coord_limit + 2) + coord + 1`` — run ids
+      strictly increase along the scan, so a fresh run's pack always
+      dominates stale carries from earlier runs,
+    - pair[j, i] valid iff i is a curr row and j < n_prev of its run
+      (which guarantees the carried value came from this run).
+
+    The downstream offset-key sort shrinks from ``2K * 2m`` slots to
+    ``2K * m`` — the exact full-range counting path's wall on repetitive
+    (tile-periodic) content, where no bounded vote radius is provably
+    exact and multiplicity must cover the tileset's code repetition.
+
+    Enumerated partner set per curr row: the first ``min(n_prev, m)``
+    prev entries of its run in sort order — identical to _join_rolled
+    (equality asserted in tests/test_ops_match.py).
+
+    ``coord_limit`` is a static upper bound on position coordinates
+    (frame/canvas dims); the packing needs ``2K * (coord_limit + 2) <
+    2**31`` — callers fall back to _join_rolled otherwise.
+
+    Returns (dx [S, 2K], dy [S, 2K], pair [S, 2K], n_missed [],
+    rows_missed [], curr_x [2K], curr_y [2K]).
+    """
+    k = p_codes.shape[0]
+    n = 2 * k
+    m = multiplicity
+    lim = coord_limit + 2
+    assert n * lim < (1 << 31) - 1, (n, coord_limit)
+
+    codes = jnp.concatenate([p_codes, c_codes])          # [2K, 4]
+    validc = jnp.concatenate([p_valid, c_sel])
+    inv = jnp.where(validc, jnp.uint32(0), _SENT)
+    tag = jnp.concatenate(
+        [jnp.zeros((k,), jnp.uint32), jnp.ones((k,), jnp.uint32)]
+    )
+    px = jnp.concatenate([p_pos[:, 0], c_pos[:, 0]])
+    py = jnp.concatenate([p_pos[:, 1], c_pos[:, 1]])
+
+    s0, s1, s2, s3, spx, spy = jax.lax.sort(
+        (
+            codes[:, 0] | inv,
+            codes[:, 1] | inv,
+            codes[:, 2] | inv,
+            ((codes[:, 3] << 1) | tag) | inv,
+            px,
+            py,
+        ),
+        num_keys=4,
+    )
+    is_curr_row = (s3 & 1) != 0
+    not_sent = s3 != _SENT
+    is_prev = (~is_curr_row) & not_sent
+    is_curr = is_curr_row & not_sent
+
+    iota = jnp.arange(n, dtype=jnp.int32)
+    m3 = s3 | 1                   # mask the origin bit out of run keys
+    neq = (
+        (s0[1:] != s0[:-1])
+        | (s1[1:] != s1[:-1])
+        | (s2[1:] != s2[:-1])
+        | (m3[1:] != m3[:-1])
+    )
+    is_start = jnp.concatenate([jnp.ones((1,), bool), neq])
+    rid = jnp.cumsum(is_start).astype(jnp.int32)          # 1..n
+    run_start = jax.lax.cummax(jnp.where(is_start, iota, 0))
+    d = iota - run_start                                  # distance to start
+
+    # prev count of the run at each row (gather-free, as in _join_rolled)
+    pcum_ex = jnp.cumsum(is_prev) - is_prev
+    start_val = jax.lax.cummax(jnp.where(is_start, pcum_ex, -1))
+    n_prev = pcum_ex - start_val
+    total_true = jnp.sum(jnp.where(is_curr, n_prev, 0))
+
+    slot = jnp.arange(m, dtype=jnp.int32)[:, None]        # [m, 1]
+    emit = is_prev[None, :] & (d[None, :] == slot)        # [m, n]
+    base = rid * lim                                      # [n]
+
+    def fill(v):
+        packed = jnp.where(emit, base[None, :] + v[None, :] + 1, 0)
+        carried = jax.lax.cummax(packed, axis=1)
+        return carried % lim - 1                          # partner coord
+
+    partner_x = fill(spx)
+    partner_y = fill(spy)
+    pair = is_curr[None, :] & (slot < n_prev[None, :])    # [m, n]
+    dx = partner_x - spx[None, :]
+    dy = partner_y - spy[None, :]
+
+    n_missed = total_true - jnp.sum(pair, dtype=jnp.int32)
+    enum_row = jnp.sum(pair, axis=0, dtype=jnp.int32)     # [2K]
+    rows_missed = jnp.sum(
+        is_curr & (n_prev > enum_row), dtype=jnp.int32
+    )
     return dx, dy, pair, n_missed, rows_missed, spx, spy
 
 
@@ -214,10 +328,11 @@ def _join_dense(
     pair = eq & p_valid[:, None] & c_sel[None, :]
     dx = p_pos[:, None, 0] - c_pos[None, :, 0]
     dy = p_pos[:, None, 1] - c_pos[None, :, 1]
-    # transpose to [curr, prev] so the row axis matches the rolled join's
-    # curr-major convention (irrelevant to vote counting)
+    # [prev, curr] orientation = the joins' slot-major convention: axis 0
+    # enumerates a row's partners, axis 1 is the curr row (whose
+    # coordinates are the trailing returns)
     return (
-        dx.T, dy.T, pair.T, jnp.zeros((), jnp.int32),
+        dx, dy, pair, jnp.zeros((), jnp.int32),
         jnp.zeros((), jnp.int32), c_pos[:, 0], c_pos[:, 1],
     )
 
@@ -267,7 +382,15 @@ def _region_votes(
         dx, dy, pair, n_missed, rows_missed = _join_dense(
             p_codes, p_pos, p_valid, c_codes, c_pos, c_sel
         )[:5]
-    else:
+    elif 2 * p_codes.shape[0] * (max(w, h) + 2) < (1 << 31) - 1:
+        # slot-major join: half the offset-key sort volume of the rolled
+        # form — the wall of the exact full-range path on tile-periodic
+        # content (see _join_slots)
+        dx, dy, pair, n_missed, rows_missed = _join_slots(
+            p_codes, p_pos, p_valid, c_codes, c_pos, c_sel,
+            multiplicity, coord_limit=max(w, h),
+        )[:5]
+    else:  # coordinate packing would overflow int32 (giant canvases)
         dx, dy, pair, n_missed, rows_missed = _join_rolled(
             p_codes, p_pos, p_valid, c_codes, c_pos, c_sel,
             multiplicity, max_run=2 * multiplicity,
@@ -296,9 +419,10 @@ def _region_votes(
         r = vote_radius
         nb = 2 * r + 1
         in_range = pair & (jnp.abs(dx) <= r) & (jnp.abs(dy) <= r)
-        # rows (not pairs): one offset gains at most one vote per row
+        # rows (not pairs): one offset gains at most one vote per row.
+        # Joins are slot-major [S, N] (rows on axis 1).
         rows_out = jnp.sum(
-            (pair & ~in_range).any(axis=1), dtype=jnp.int32
+            (pair & ~in_range).any(axis=0), dtype=jnp.int32
         )
         iotab = jnp.arange(nb, dtype=jnp.int32)
 

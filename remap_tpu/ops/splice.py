@@ -66,9 +66,10 @@ def match_fragments(
     o_sent = jnp.int32(4 * wb * hb)
     okey = jnp.where(pair, (dx + wb) * (2 * hb) + (dy + hb), o_sent)
     # cell of a pair: (min(px,cx)//cw, min(py,cy)//ch) (kpm.hpp:225-247);
-    # px = cx + dx, py = cy + dy
-    cellx = jnp.minimum(scx[:, None] + dx, scx[:, None]) // cell_w
-    celly = jnp.minimum(scy[:, None] + dy, scy[:, None]) // cell_h
+    # px = cx + dx, py = cy + dy.  Joins return slot-major [S, N]: curr
+    # coordinates broadcast along axis 0.
+    cellx = jnp.minimum(scx[None, :] + dx, scx[None, :]) // cell_w
+    celly = jnp.minimum(scy[None, :] + dy, scy[None, :]) // cell_h
     ckey = cellx * (hb // cell_h + 2) + celly
 
     so, sc = jax.lax.sort(

@@ -51,9 +51,9 @@ def _host_fingerprint() -> str:
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(keys):
-                    val = line.split(":", 1)[1].strip()
-                    entry = f"{line.split(':', 1)[0].strip()}={val}"
+                if line.startswith(keys) and ":" in line:
+                    key, val = line.split(":", 1)
+                    entry = f"{key.strip()}={val.strip()}"
                     if entry not in parts:
                         parts.append(entry)
                 if line.strip() == "" and parts:

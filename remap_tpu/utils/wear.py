@@ -83,7 +83,7 @@ def with_tears(
     session: Session,
     rng: np.random.Generator,
     tear_prob: float = 0.05,
-    band: tuple = (0.25, 0.75),
+    band: tuple[float, float] = (0.25, 0.75),
 ) -> Session:
     """Non-vsynced tearing: at a torn index i, the raster has refreshed
     rows above the tear line with frame i's content while rows below
@@ -93,6 +93,8 @@ def with_tears(
     frames = [f.copy() for f in session.frames]
     h = frames[0].shape[0]
     lo, hi = int(h * band[0]), int(h * band[1])
+    if hi <= lo:  # degenerate band (tiny frames): no row to tear at
+        return _clone(session, frames, session.camera)
     for i in range(1, len(frames)):
         if rng.random() < tear_prob:
             split = int(rng.integers(lo, hi))
@@ -105,7 +107,7 @@ def with_specks(
     rng: np.random.Generator,
     per_frame: int = 12,
     n_colors: int = 16,
-    region: tuple = None,
+    region: tuple | None = None,
 ) -> Session:
     """Transient glitches: ``per_frame`` isolated pixels per frame flip
     to a random palette index, one frame only.
@@ -137,7 +139,7 @@ def worn(
     seed: int,
     *,
     specks: int = 12,
-    speck_region: tuple = None,
+    speck_region: tuple | None = None,
     tear_prob: float = 0.05,
     dup_prob: float = 0.06,
     drop_prob: float = 0.06,

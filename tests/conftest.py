@@ -25,3 +25,19 @@ jax.config.update("jax_platforms", "cpu")
 from remap_tpu.utils.runtime import setup_cache  # noqa: E402
 
 setup_cache("/root/jax_cache_cpu", per_host=True)
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite: ``-m quick`` is the fast, full-coverage tier.
+
+    Everything under tests/differential/ (compiled-reference oracles) is
+    slow by construction; other tests are quick unless explicitly marked
+    ``slow`` (the scale/invariance batteries whose mechanisms are also
+    covered by a faster test).  Expected walls in docs/USAGE.md."""
+    for item in items:
+        if "differential" in str(item.path):
+            item.add_marker(pytest.mark.slow)
+        elif item.get_closest_marker("slow") is None:
+            item.add_marker(pytest.mark.quick)

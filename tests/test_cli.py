@@ -62,6 +62,7 @@ def test_cli_missing_dir():
     assert "cannot read frames" in r.stderr
 
 
+@pytest.mark.slow
 def test_cli_png_format(clip_dir, tmp_path):
     # convert the raw clip to PNG frames and run the png feed
     import numpy as np

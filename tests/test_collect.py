@@ -58,6 +58,7 @@ def test_fragment_breaks():
     assert len(jres.fragments) == 3
 
 
+@pytest.mark.slow
 def test_batch_boundary_invariance():
     # results must not depend on the device batch size
     clip = testing.simple_clip(
@@ -77,6 +78,7 @@ def test_batch_boundary_invariance():
         assert got == ref, batch
 
 
+@pytest.mark.slow
 def test_drain_depth_invariance(tmp_path):
     """Results must not depend on how many dispatched batches are kept
     in flight (collect_drain_depth) — on either the feed fast path or
@@ -165,6 +167,7 @@ def test_strict_retry_on_repetitive_texture():
         np.testing.assert_array_equal(jf.dots, sf.dots)
 
 
+@pytest.mark.slow
 def test_incremental_repair_matches_exhaustive():
     """The strict loop re-matches only flagged pairs; the result must
     equal a run with exhaustive limits from the start (the stability

@@ -84,6 +84,7 @@ print(f"worker {pid} OK", flush=True)
 """
 
 
+@pytest.mark.slow
 def test_two_process_fake_dcn(tmp_path):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))

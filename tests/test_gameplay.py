@@ -9,6 +9,7 @@ foreground, changing HUD digits inside static chrome.
 """
 
 import numpy as np
+import pytest
 
 from remap_tpu.utils import gameplay
 
@@ -147,6 +148,7 @@ def test_topdown_warp_is_a_teleport():
     assert ((snaps[:, 0] >= aw) | (snaps[:, 1] >= ah)).all()
 
 
+@pytest.mark.slow
 def test_topdown_window_is_discoverable():
     """aws (the spec) must accept the action window on flip-screen
     content — the pan speed / tile speckle interplay this genre was
@@ -239,6 +241,7 @@ def test_shmup_foreground_is_dense_and_fast():
     assert dense >= 180, f"enemy waves too sparse ({dense} dense frames)"
 
 
+@pytest.mark.slow
 def test_shmup_window_is_discoverable():
     from remap_tpu.spec import aws
 
@@ -304,6 +307,7 @@ def test_matcher_recovers_camera_on_gameplay_content():
     np.testing.assert_array_equal(offsets[1:], true)
 
 
+@pytest.mark.slow
 def test_custom_palette_gameplay_e2e():
     """The full spec pipeline under the ZX preset on a playthrough:
     palette indices are palette-independent, but the luminance ORDER

@@ -142,7 +142,7 @@ def _tables_of(frames, layout, capacity=2048):
     return prev, curr
 
 
-@pytest.mark.parametrize("radius", [8, 16, 32])
+@pytest.mark.parametrize("radius", [8, 16, pytest.param(32, marks=pytest.mark.slow)])
 def test_vote_histogram_matches_exact(radius):
     """The MXU vote histogram agrees with the exact sort path whenever
     offsets fit the radius."""
@@ -225,6 +225,46 @@ def _hand_tables(layout, n_unique, n_rep, offset=(3, 2), capacity=256):
             overflow=jnp.zeros((1, r_cnt), bool),
         )
     return tab(0), tab(1)
+
+
+def test_join_slots_equals_rolled():
+    """The slot-major join (one broadcast per partner rank — half the
+    offset-key sort volume) must enumerate EXACTLY the rolled join's
+    pairs: same per-row partner multisets, same truncation accounting.
+    Randomized tables with heavy code repetition and invalid rows."""
+    rng = np.random.default_rng(123)
+    k = 64
+    for m in (1, 2, 4, 16):
+        # ~12 distinct codes over 64 rows -> runs far longer than m
+        codes = rng.integers(1, 12, size=(2, k, 4)).astype(np.uint32)
+        pos = rng.integers(0, 90, size=(2, k, 2)).astype(np.int32)
+        valid = rng.random((2, k)) < 0.8
+
+        args = (
+            jnp.asarray(codes[0]), jnp.asarray(pos[0]),
+            jnp.asarray(valid[0]),
+            jnp.asarray(codes[1]), jnp.asarray(pos[1]),
+            jnp.asarray(valid[1]),
+        )
+        rolled = jkpm._join_rolled(*args, m, max_run=2 * m)
+        slots = jkpm._join_slots(*args, m, coord_limit=96)
+
+        assert int(rolled[3]) == int(slots[3])   # n_missed
+        assert int(rolled[4]) == int(slots[4])   # rows_missed
+        np.testing.assert_array_equal(np.asarray(rolled[5]),
+                                      np.asarray(slots[5]))
+
+        sent = 1 << 30
+
+        def row_keys(out):
+            dx, dy, pair = (np.asarray(a) for a in out[:3])
+            keys = np.where(pair, (dx + 96) * 200 + (dy + 96), sent)
+            return np.sort(keys, axis=0)     # per curr row (axis 1)
+
+        rk = row_keys(rolled)                # [2m, 2K]
+        sk = row_keys(slots)                 # [m, 2K]
+        np.testing.assert_array_equal(rk[:m], sk)
+        assert (rk[m:] == sent).all()        # rolled's extra slots empty
 
 
 def test_join_decision_bound():
