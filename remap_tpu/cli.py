@@ -43,6 +43,14 @@ def make_parser() -> argparse.ArgumentParser:
                    help="vote histogram radius; 0 = exact full-range "
                         "counting (out-of-range votes auto-escalate)")
     p.add_argument("--splice-capacity", type=int, default=2048)
+    p.add_argument("--discovery", choices=["parity", "robust"],
+                   default="parity",
+                   help="window discovery: 'parity' replicates the "
+                        "reference exactly (including its zero-output "
+                        "regimes on top-HUD and glitchy-chrome captures); "
+                        "'robust' picks the largest changed contour and "
+                        "debounces transient glitches so such captures "
+                        "still produce maps (PARITY.md)")
     p.add_argument("--checkpoint-dir", default=None,
                    help="dump stage checkpoints for resume/debug")
     p.add_argument("--resume", action="store_true",
@@ -127,6 +135,7 @@ def main(argv=None) -> int:
         region_capacity=args.region_capacity,
         vote_radius=args.vote_radius,
         splice_capacity=args.splice_capacity,
+        discovery=args.discovery,
     )
 
     try:

@@ -84,6 +84,24 @@ class PipelineConfig:
     aws_min_width_num: int = 2          # w > 2*W/3              (aws.hpp:112)
     aws_min_width_den: int = 3
     aws_stagnation_limit: int = 100     # aws.hpp:118
+    #: Window-discovery mode.  "parity" replicates the reference exactly —
+    #: including two regimes where it (and therefore we, byte-for-byte)
+    #: emit NO maps at all (PARITY.md): the top-HUD tie latch (every
+    #: CHANGED contour scores 0 in aws.hpp:62-69, so a live status bar
+    #: ABOVE the play area wins every tie from its first change onward)
+    #: and chrome-speck stagnation starvation (transient glitches on the
+    #: static border/HUD re-mark the change heatmap forever,
+    #: aws.hpp:37-96).  "robust" is a deliberate divergence that still
+    #: produces maps on such captures: the window candidate is the
+    #: LARGEST changed contour (not the first tied one), and a pixel
+    #: must change more than ``aws_change_tolerance`` times before it is
+    #: marked (transient specks are debounced; real action areas change
+    #: constantly).
+    discovery: str = "parity"
+    #: "robust" discovery only: per-pixel change events tolerated before
+    #: the heatmap marks the pixel as changing (a single transient glitch
+    #: produces exactly two events: appear + disappear).
+    aws_change_tolerance: int = 2
 
     # --- foreground extraction (fde) ------------------------------------
     #: Drop foreground contours with area > frame_area/5 (fde.hpp:94).

@@ -104,3 +104,88 @@ def best_contour_jit(heatmap: jax.Array) -> jax.Array:
     """[6] int32: (color, area, left, top, right, bottom) — one fetch."""
     color, area, bbox = best_contour(heatmap)
     return jnp.concatenate([color[None], area[None], bbox])
+
+
+# --------------------------------------------------------------------------
+# Robust discovery mode (cfg.discovery == "robust"): a deliberate,
+# documented divergence from the reference for captures where parity mode
+# emits nothing (PARITY.md: top-HUD tie latch, chrome-speck starvation).
+# --------------------------------------------------------------------------
+
+def counted_heatmap_scan(
+    prev_frame: jax.Array,   # [H, W] uint8 — frame before this batch
+    frames: jax.Array,       # [B, H, W] uint8
+    counts: jax.Array,       # [H, W] int32 carry — change events so far
+    tolerance: int,
+):
+    """Debounced heatmap: a pixel is "changing" only after more than
+    ``tolerance`` change events.  A transient glitch (speck) contributes
+    exactly two events (appear + disappear) and never marks at the
+    default tolerance 2; real action pixels change constantly.  Returns
+    ([B, H, W] per-frame heatmap states, [H, W] new counts carry)."""
+    shifted = jnp.concatenate([prev_frame[None], frames[:-1]], axis=0)
+    ev = (shifted != frames).astype(jnp.int32)
+    cum = counts[None] + jnp.cumsum(ev, axis=0)
+    heatmaps = (cum <= tolerance).astype(jnp.uint8)
+    return heatmaps, cum[-1]
+
+
+@jax.jit
+def robust_scan_batch(
+    prev_frame: jax.Array, frames: jax.Array, counts: jax.Array,
+    tolerance: int = 2,
+):
+    """Batched debounced heatmap advance + per-frame change flags."""
+    heatmaps, new_counts = counted_heatmap_scan(
+        prev_frame, frames, counts, tolerance
+    )
+    first_prev = (counts <= tolerance).astype(jnp.uint8)
+    shifted = jnp.concatenate([first_prev[None], heatmaps[:-1]], axis=0)
+    changed = jnp.any(heatmaps != shifted, axis=(1, 2))
+    return heatmaps, changed, new_counts
+
+
+def robust_best_contour(heatmap: jax.Array) -> Tuple[jax.Array, ...]:
+    """(color, area, bbox) of the LARGEST changed (color-0) contour.
+
+    Parity mode's pick is min ``area * color`` with first-discovery ties
+    (aws.hpp:62-69) — every changed contour scores 0, so a tiny live
+    HUD digit above the play area latches forever.  Robust mode keeps
+    the growth/stagnation machine but feeds it the largest changed
+    contour (the play area by construction); the bbox is the TRUE pixel
+    bbox (no cdt::limits running-max quirk)."""
+    h, w = heatmap.shape
+    big = h * w
+    labels = cc.label_components(heatmap)
+    area, _ = cc.component_stats(labels, heatmap)
+    interior = labels < big
+
+    is_zero = interior & (heatmap == 0)
+    zarea = jnp.where(is_zero, area, 0)
+    best_area = zarea.max()
+    # ties -> smallest label (first row-major discovery), like parity
+    cand = jnp.where(zarea == best_area, labels, big)
+    best_label = cand.min()
+    have = best_area > 0
+
+    mask = labels == best_label
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    left = jnp.where(mask, xs, w).min()
+    right = jnp.where(mask, xs, -1).max()
+    top = jnp.where(mask, ys, h).min()
+    bottom = jnp.where(mask, ys, -1).max()
+
+    color = jnp.where(have, 0, 1).astype(jnp.int32)
+    return (
+        color,
+        jnp.where(have, best_area, 0),
+        jnp.stack([left, top, right, bottom]),
+    )
+
+
+@jax.jit
+def robust_best_contour_jit(heatmap: jax.Array) -> jax.Array:
+    """[6] int32: (color, area, left, top, right, bottom) — one fetch."""
+    color, area, bbox = robust_best_contour(heatmap)
+    return jnp.concatenate([color[None], area[None], bbox])

@@ -195,9 +195,14 @@ def _join_rolled(
     rows_missed = jnp.sum(
         is_curr & (n_prev > enum_row), dtype=jnp.int32
     )
+    # needed_m: the smallest multiplicity that would enumerate EVERY
+    # pair — lets strict callers jump the escalation ladder in one step
+    # (the dense endpoint is quadratic in capacity and cliffs on
+    # session-scale canvases; real content's max code repetition is tiny)
+    needed_m = jnp.max(jnp.where(is_curr, n_prev, 0)).astype(jnp.int32)
     # spx/spy are each sorted row's own (curr-side) coordinates; a pair's
     # prev-side coordinate is spx + dx (used by the cellular matcher).
-    return dx, dy, pair, n_missed, rows_missed, spx, spy
+    return dx, dy, pair, n_missed, rows_missed, spx, spy, needed_m
 
 
 def _join_slots(
@@ -311,7 +316,8 @@ def _join_slots(
     rows_missed = jnp.sum(
         is_curr & (n_prev > enum_row), dtype=jnp.int32
     )
-    return dx, dy, pair, n_missed, rows_missed, spx, spy
+    needed_m = jnp.max(jnp.where(is_curr, n_prev, 0)).astype(jnp.int32)
+    return dx, dy, pair, n_missed, rows_missed, spx, spy, needed_m
 
 
 def _join_dense(
@@ -334,6 +340,7 @@ def _join_dense(
     return (
         dx, dy, pair, jnp.zeros((), jnp.int32),
         jnp.zeros((), jnp.int32), c_pos[:, 0], c_pos[:, 1],
+        jnp.zeros((), jnp.int32),
     )
 
 

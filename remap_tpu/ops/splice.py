@@ -32,6 +32,11 @@ class CellMatch(NamedTuple):
     count: jax.Array     # [] int32 matched keypoints of the best offset
     ok: jax.Array        # [] bool
     overflow: jax.Array  # [] bool
+    #: [] int32 — smallest multiplicity that enumerates every pair; on
+    #: overflow, retry ONCE at this value instead of walking the ladder
+    #: to the dense endpoint (quadratic in capacity — an OOM cliff on
+    #: session-scale canvases whose true code repetition is tiny)
+    needed_multiplicity: jax.Array
 
 
 @functools.partial(
@@ -51,11 +56,11 @@ def match_fragments(
     hb, wb = p_mask.shape
 
     if multiplicity == 0:  # exhaustive dense join
-        dx, dy, pair, n_missed, _rm, scx, scy = _join_dense(
+        dx, dy, pair, n_missed, _rm, scx, scy, needed_m = _join_dense(
             p_codes, p_pos, p_valid, c_codes, c_pos, c_valid
         )
     else:
-        dx, dy, pair, n_missed, _rm, scx, scy = _join_rolled(
+        dx, dy, pair, n_missed, _rm, scx, scy, needed_m = _join_rolled(
             p_codes, p_pos, p_valid, c_codes, c_pos, c_valid,
             multiplicity, max_run=2 * multiplicity,
         )
@@ -139,4 +144,5 @@ def match_fragments(
         count=best_kp,
         ok=ok,
         overflow=overflow,
+        needed_multiplicity=needed_m,
     )

@@ -170,11 +170,24 @@ def _match(
             ratio=cfg.splice_cell_ratio,
             multiplicity=mult,
         )
-        # blended fragments repeat tile patterns heavily; escalate the
-        # join multiplicity, ending at the exhaustive dense join (0)
+        # blended fragments repeat tile patterns; on truncation, jump
+        # the multiplicity straight to the join's own measure of the
+        # maximum code repetition (rounded to a power of two to bound
+        # recompiles) — one retry enumerates every pair.  The dense
+        # [K, K] join is only ever used when it is CHEAPER than the
+        # rolled form (tiny tables): at session-scale canvases (500k+
+        # keypoints) dense was an OOM cliff that real content's tiny
+        # repetition (measured max 5 on a 4096^2 tile world) never needs.
         if not bool(res.overflow) or mult == 0:
             break
-        mult = 0 if mult >= 16 else mult * 4
+        needed = int(res.needed_multiplicity)
+        nm = max(2 * mult, 2)
+        while nm < needed:
+            nm *= 2
+        if 4 * nm >= k:
+            mult = 0      # dense is cheaper than rolled at this ratio
+        else:
+            mult = nm
     if not bool(res.ok):
         return None
     off = tuple(int(v) for v in np.asarray(res.offset))

@@ -37,12 +37,18 @@ def scan(
     if first is None:
         return None
     h, w = first.shape
+    robust = cfg.discovery == "robust"
 
     min_area = (w * h) // cfg.aws_min_area_divisor
     min_height = cfg.aws_min_height_num * h // cfg.aws_min_height_den
     min_width = cfg.aws_min_width_num * w // cfg.aws_min_width_den
 
-    heatmap = jnp.ones((h, w), jnp.uint8)
+    # parity: binary always-static heatmap; robust: per-pixel change
+    # event counts (debounced — see config.discovery)
+    if robust:
+        carry = jnp.zeros((h, w), jnp.int32)
+    else:
+        carry = jnp.ones((h, w), jnp.uint8)
     prev = jnp.asarray(first)
 
     result: Optional[Rect] = None
@@ -65,9 +71,15 @@ def scan(
             break
         n_real = len(batch)
         padded = batch + [batch[-1]] * (b - n_real)
-        heatmaps, changed = aws_ops.scan_batch(
-            prev, jnp.asarray(np.stack(padded)), heatmap
-        )
+        if robust:
+            heatmaps, changed, carry = aws_ops.robust_scan_batch(
+                prev, jnp.asarray(np.stack(padded)), carry,
+                cfg.aws_change_tolerance,
+            )
+        else:
+            heatmaps, changed = aws_ops.scan_batch(
+                prev, jnp.asarray(np.stack(padded)), carry
+            )
         changed_np = np.asarray(changed)[:n_real]
 
         for i in range(n_real):
@@ -75,24 +87,40 @@ def scan(
                 done = True
                 break
             if changed_np[i] or last is None:
-                last = np.asarray(aws_ops.best_contour_jit(heatmaps[i]))
+                fn = (
+                    aws_ops.robust_best_contour_jit
+                    if robust
+                    else aws_ops.best_contour_jit
+                )
+                last = np.asarray(fn(heatmaps[i]))
             color, carea, cbbox = last[0], last[1], last[2:]
             if color == 0 and carea > area:
                 stagnation = 0
                 area = int(carea)
-                # cbbox[0] is the quirky enclosure lower_ (ops.aws:
-                # sentinel w = unset/SIZE_MAX); width wraps unsigned
-                # like the reference's (aws.hpp:110-139, cdt.hpp:192-195)
-                left_q = int(cbbox[0])
-                if left_q >= w:
-                    left_q = 2**64 - 1
-                window = Rect(
-                    left=left_q,
-                    top=int(cbbox[1]),
-                    right=int(cbbox[2]),
-                    bottom=int(cbbox[3]),
-                )
-                width_q = (window.right - left_q) % 2**64
+                if robust:
+                    # true pixel bbox — no cdt::limits running-max quirk
+                    window = Rect(
+                        left=int(cbbox[0]),
+                        top=int(cbbox[1]),
+                        right=int(cbbox[2]),
+                        bottom=int(cbbox[3]),
+                    )
+                    width_q = window.right - window.left
+                else:
+                    # cbbox[0] is the quirky enclosure lower_ (ops.aws:
+                    # sentinel w = unset/SIZE_MAX); width wraps unsigned
+                    # like the reference's (aws.hpp:110-139,
+                    # cdt.hpp:192-195)
+                    left_q = int(cbbox[0])
+                    if left_q >= w:
+                        left_q = 2**64 - 1
+                    window = Rect(
+                        left=left_q,
+                        top=int(cbbox[1]),
+                        right=int(cbbox[2]),
+                        bottom=int(cbbox[3]),
+                    )
+                    width_q = (window.right - left_q) % 2**64
                 if result is not None or (
                     area > min_area
                     and window.height > min_height
@@ -102,7 +130,8 @@ def scan(
             if result is not None:
                 stagnation += 1
 
-        heatmap = heatmaps[n_real - 1]
+        if not robust:
+            carry = heatmaps[n_real - 1]
         prev = jnp.asarray(batch[n_real - 1])
 
     if result is None:

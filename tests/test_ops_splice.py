@@ -71,6 +71,50 @@ def test_disjoint_blends_reject():
     assert j == s  # both reject (or both accept a coincidence)
 
 
+def test_count_guided_multiplicity_jump():
+    """Repetitive tile content must resolve with ONE count-guided
+    multiplicity retry (the join reports the exact max code repetition)
+    instead of walking the ladder to the dense [K, K] endpoint — which
+    is an OOM cliff at session-scale capacities.  The jumped result
+    must equal the dense join's."""
+    rng = np.random.default_rng(21)
+    # identical 13x13 stamps on a uniform ground: codes repeat EXACTLY
+    # per stamp instance (the stamp-band differential's adversary shape)
+    world = np.zeros((220, 280), np.uint8)
+    stamp = rng.integers(0, 16, size=(13, 13), dtype=np.uint8)
+    for y in range(5, 200, 22):
+        for x in range(5, 260, 22):
+            world[y : y + 13, x : x + 13] = stamp
+    a = world[10:130, 10:180]
+    b = world[50:180, 45:260]
+    ma = np.ones(a.shape, np.uint8)
+    mb = np.ones(b.shape, np.uint8)
+    ta, _, mba, da = snippet(a, ma)
+    tb, _, _, db = snippet(b, mb)
+    args = (
+        ta.codes[0, 0], ta.pos[0, 0], ta.valid[0, 0],
+        tb.codes[0, 0], tb.pos[0, 0], tb.valid[0, 0],
+        jnp.asarray(mba),
+        jnp.asarray(np.array(da, np.int32)),
+        jnp.asarray(np.array(db, np.int32)),
+    )
+    low = jsplice.match_fragments(*args, multiplicity=1)
+    if not bool(low.overflow):
+        pytest.skip("content did not truncate at multiplicity 1")
+    needed = int(low.needed_multiplicity)
+    assert needed > 1
+    nm = 2
+    while nm < needed:
+        nm *= 2
+    jumped = jsplice.match_fragments(*args, multiplicity=nm)
+    assert not bool(jumped.overflow)   # one retry enumerated every pair
+    dense = jsplice.match_fragments(*args, multiplicity=0)
+    assert bool(jumped.ok) == bool(dense.ok)
+    np.testing.assert_array_equal(np.asarray(jumped.offset),
+                                  np.asarray(dense.offset))
+    assert int(jumped.count) == int(dense.count)
+
+
 def test_partial_masks():
     rng = np.random.default_rng(8)
     world = testing.make_world(200, 260, rng)
