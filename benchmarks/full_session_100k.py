@@ -48,7 +48,13 @@ AH, AW = H - 2 * BORDER - HUD_H, W - 2 * BORDER
 
 def make_path(n, wh, ww, rng, teleports):
     """[n, 2] camera (x, y): held runs + rests, teleport jumps at the
-    given frame indices (far enough that matching must break)."""
+    given frame indices.
+
+    A teleport lands NEAR an already-visited position (a mid-run warp
+    back, the flip-screen genre's shape): far enough that frame-to-frame
+    matching must break (a fresh fragment starts), close enough that the
+    new fragment's wander region overlaps the old one's — so the splice
+    stage has real multi-fragment merges to do (fgs.hpp:142-213)."""
     max_y, max_x = wh - AH, ww - AW
     pos = np.empty((n, 2), np.int64)
     x, y = ww // 4, wh // 4
@@ -56,8 +62,18 @@ def make_path(n, wh, ww, rng, teleports):
     tset = set(teleports)
     while i < n:
         if i in tset:
-            x = int(rng.integers(0, max_x))
-            y = int(rng.integers(0, max_y))
+            # land on a previously-visited position far from the CURRENT
+            # one: consecutive frames share no content (the match must
+            # break, full window apart), while the new fragment's wander
+            # region overlaps the old fragment's (splice must re-merge)
+            far = np.abs(pos[: i - 1] - (x, y)).max(axis=1) >= AW + 120
+            cands = np.flatnonzero(far)
+            if len(cands):
+                back = pos[int(cands[int(rng.integers(0, len(cands)))])]
+            else:  # degenerate tiny sessions: jump anywhere
+                back = (rng.integers(0, max_x), rng.integers(0, max_y))
+            x = int(np.clip(back[0] + int(rng.integers(-40, 41)), 0, max_x))
+            y = int(np.clip(back[1] + int(rng.integers(-40, 41)), 0, max_y))
             pos[i] = (x, y)
             i += 1
             continue

@@ -35,7 +35,8 @@ def result(name, fps, extra=""):
 
 
 def bench_stream(name, h, w, capacity=768, matcher="grid_vote", seconds=6.0,
-                 batch=256, multiplicity=1, frames=None, vote_radius=16):
+                 batch=256, multiplicity=1, frames=None, vote_radius=16,
+                 expect_offsets=None):
     import jax
 
     from bench import make_clip
@@ -62,6 +63,13 @@ def bench_stream(name, h, w, capacity=768, matcher="grid_vote", seconds=6.0,
     offs, ok, ovf, strayed, state = step(batches[0], state)
     matched = float(np.asarray(ok)[1:].mean())
     assert not np.asarray(ovf).any(), "join overflow: raise limits"
+    if expect_offsets is not None:
+        # declarations must equal the simulator's ground-truth camera
+        # deltas — the "unchanged declarations" proof for any fast-path
+        # limit (capacity / multiplicity / radius) this row picks
+        np.testing.assert_array_equal(
+            np.asarray(offs)[1:], expect_offsets[: B - 1]
+        )
     np.asarray(offs)
     t0 = time.perf_counter()
     reps = 0
@@ -126,10 +134,15 @@ def bench_gameplay(seconds=6.0):
     # radius is provably exact here (the stability bound flags every
     # frame at radius 16 — correctly); gameplay runs the exact
     # full-range counting path, multiplicity 16 (zero join flags).
+    # Capacity 384 is the smallest lane-aligned size above the content's
+    # true per-region keypoint maximum (319 measured; the bench's
+    # no-overflow assertion is the per-run proof — same protocol as the
+    # flagship's NES-specific 640).
     bench_stream(
         "align+stitch gameplay session 372x272 grid_vote",
         frames.shape[1], frames.shape[2], seconds=seconds,
-        multiplicity=16, frames=frames, vote_radius=0,
+        capacity=384, multiplicity=16, frames=frames, vote_radius=0,
+        expect_offsets=np.diff(np.array(session.camera), axis=0),
     )
 
 
@@ -148,10 +161,13 @@ def bench_gameplay_shmup(seconds=6.0):
         seed=11, n_frames=1024, frame_hw=(312, 388)
     )
     frames = np.stack([f[8:-32, 8:-8] for f in session.frames])
+    # capacity 384 > the genre's measured per-region keypoint max (244);
+    # the no-overflow assertion proves it per run
     bench_stream(
         "align+stitch shmup session 372x272 grid_vote",
         frames.shape[1], frames.shape[2], seconds=seconds,
-        multiplicity=16, frames=frames, vote_radius=0,
+        capacity=384, multiplicity=16, frames=frames, vote_radius=0,
+        expect_offsets=np.diff(np.array(session.camera), axis=0),
     )
 
 

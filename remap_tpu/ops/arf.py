@@ -238,8 +238,31 @@ def filter_fragment(
     Device select + exact host re-selection of the (rare) pixels the
     stability bound flags — the result is the canonical image bit-exactly
     on every backend."""
+    res = filter_fragment_dispatch(
+        dots, blend_image, blend_mask, size, dev, threshold
+    )
+    return filter_fragment_finalize(dots, res, dev)
+
+
+def filter_fragment_dispatch(
+    dots: jax.Array,
+    blend_image: jax.Array,
+    blend_mask: jax.Array,
+    size: int = 15,
+    dev: float = 2.0,
+    threshold: float = 0.25,
+):
+    """The device half of :func:`filter_fragment` (async — no fetch).
+
+    Split out so fragment-axis parallelism (parallel.fragments,
+    mpb.hpp:82's thread pool on a mesh) can dispatch every fragment's
+    chain to its device before the first blocking fetch."""
     heat = heatmap(blend_image, blend_mask, size)
-    res = select(dots, heat, dev, threshold)
+    return select(dots, heat, dev, threshold)
+
+
+def filter_fragment_finalize(dots, res, dev: float = 2.0) -> np.ndarray:
+    """The host half: fetch + exact re-selection of flagged pixels."""
     out = np.asarray(res.image)
     unstable = np.asarray(res.unstable)
     if unstable.any():

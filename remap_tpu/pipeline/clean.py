@@ -53,4 +53,14 @@ def clean_fragment(frag: Fragment, cfg: PipelineConfig) -> np.ndarray:
 
 
 def clean(fragments: List[Fragment], cfg: PipelineConfig) -> List[np.ndarray]:
+    import jax
+
+    devs = jax.local_devices()
+    if len(devs) > 1 and len(fragments) > 1:
+        # the reference's parallel transform (mpb.hpp:82) on the mesh:
+        # fragments round-robin across devices, dispatched async,
+        # fetched after all dispatches (parallel.fragments)
+        from remap_tpu.parallel.fragments import clean_fragments
+
+        return clean_fragments(fragments, cfg, devs)
     return [clean_fragment(f, cfg) for f in fragments]

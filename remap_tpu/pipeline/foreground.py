@@ -26,22 +26,36 @@ def filter_fragments(
     fragments: List[Fragment],
     cfg: PipelineConfig,
 ) -> List[Fragment]:
+    """Fragments are independent — the reference blends their backgrounds
+    with a thread pool (fdf.hpp:21-34) and we additionally run each
+    fragment's whole frame loop on its own device when several are
+    visible (round-robin, parallel.fragments): every chain dispatches
+    async and the blocking fetches happen only after the LAST fragment's
+    dispatch, so N devices process N fragments concurrently."""
     import jax
 
     use_pallas = jax.devices()[0].platform in ("tpu", "axon")
-    results: List[Fragment] = []
     b = cfg.frame_batch
+    devs = jax.local_devices()
+    multi = len(devs) > 1 and len(fragments) > 1
+    default_dev = jax.devices()[0]
 
-    for frag in fragments:
+    pending = []
+    for fi, frag in enumerate(fragments):
+        dev = devs[fi % len(devs)] if multi else default_dev
         store = frag.store
         assert store is not None, "fragment has no frame store"
         fh, fw = store.height, store.width
         ch, cw = frag.shape
 
-        dots_dev = jnp.asarray(frag.dots)
+        dots_dev = (
+            jax.device_put(frag.dots, dev) if multi else jnp.asarray(frag.dots)
+        )
         background, _ = atlas_ops.blend(dots_dev)
 
         out_dots = jnp.zeros((ch, cw, atlas_ops.DEPTH), jnp.uint16)
+        if multi:
+            out_dots = jax.device_put(out_dots, dev)
         nums = [r.number for r in frag.frames]
         poss = [r.position for r in frag.frames]
 
@@ -49,8 +63,14 @@ def filter_fragments(
             chunk = nums[i : i + b]
             cpos = poss[i : i + b]
             n_real = len(chunk)
-            # HBM mirror when collect ran here; packed upload otherwise
-            packed = store.device_packed_batch(chunk)
+            # HBM mirror when collect ran on this device; packed upload
+            # otherwise (the mirror lives on the default device only)
+            if multi and dev != default_dev:
+                packed = jax.device_put(
+                    store.packed_images_batch(chunk), dev
+                )
+            else:
+                packed = store.device_packed_batch(chunk)
             recompute = not store.has_medians
             meds = None if recompute else store.medians_batch(chunk)
             if n_real < b:
@@ -69,10 +89,16 @@ def filter_fragments(
                 + [(0, 0)] * (b - n_real),
                 np.int32,
             )
+            if meds is not None and multi and dev != default_dev:
+                meds_dev = jax.device_put(meds, dev)
+            elif meds is not None:
+                meds_dev = jnp.asarray(meds)
+            else:
+                meds_dev = None
             fg = fde_ops.extract_batch(
                 background,
                 imgs,
-                None if recompute else jnp.asarray(meds),
+                meds_dev,
                 jnp.asarray(apos),
                 area_divisor=cfg.fde_area_divisor,
                 compute_medians=recompute,
@@ -89,12 +115,15 @@ def filter_fragments(
                 masks=fg,
                 dots=out_dots,
             )
+        pending.append((frag, out_dots, nums, poss))
 
-        result = Fragment(
+    # fetch AFTER every fragment's chain is dispatched
+    results: List[Fragment] = []
+    for frag, out_dots, nums, poss in pending:
+        results.append(Fragment(
             dots=np.asarray(out_dots),
             zero=frag.zero,
             frames=[FrameRef(number=n, position=p) for n, p in zip(nums, poss)],
-            store=store,
-        )
-        results.append(result)
+            store=frag.store,
+        ))
     return results

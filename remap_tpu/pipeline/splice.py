@@ -21,8 +21,10 @@ plays the cellular vote count's role in the greedy merge order — so the
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -62,20 +64,86 @@ class _Snippet:
     image_bucket: Optional[np.ndarray] = None   # correlation families only
 
 
-def _extract_snippet(frag: Fragment, cfg: PipelineConfig) -> _Snippet:
-    ch, cw = frag.shape
-    dots = jnp.asarray(frag.dots)
-    image, mask = atlas_ops.blend(dots)
+#: Snippet extraction canvas-shape bucket: merged canvases take arbitrary
+#: step-quantized sizes, and a per-size compiled program made a cold
+#: multi-fragment splice pay one tunnel compile per merge level.  The
+#: canvas pads (bottom/right, zero dots) to multiples of this and the
+#: extraction masks weights to the TRUE canvas's processed interior —
+#: bit-identical to exact-canvas extraction, because every interior
+#: keypoint's 3x3/5x5 windows lie fully inside the true canvas (the pad
+#: is never read where a weight survives).
+_SHAPE_BUCKET = 256
 
+
+def _shape_bucket(n: int) -> int:
+    return ((n + _SHAPE_BUCKET - 1) // _SHAPE_BUCKET) * _SHAPE_BUCKET
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kh", "use_pallas", "grid_vote")
+)
+def _snippet_device(dots_padded, ch, cw, kh, use_pallas, grid_vote):
+    """One program per canvas-shape bucket: blend (+ masked dense
+    extract for grid_vote).  ``ch``/``cw`` are TRACED true dims."""
+    image, mask = atlas_ops.blend(dots_padded)
+    if not grid_vote:
+        return image, mask, None, None, None
+    hb2, wb2 = image.shape
+    layout = make_layout(wb2, hb2, 1, 1, 0)
+    dense = kpe_ops.extract_dense(image[None], layout, use_pallas)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (hb2, wb2), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (hb2, wb2), 1)
+    # the true canvas's processed interior (core.regions: x in
+    # [kh, W-kh), y in [kh, H-kh-2) incl. the reference's bottom quirk)
+    tmask = (
+        (ys >= kh) & (ys < ch - kh - 2) & (xs >= kh) & (xs < cw - kh)
+    )
+    w8 = dense.weight[0] * tmask.astype(jnp.uint8)
+    total = (w8 > 0).sum()
+    return image, mask, w8, dense.codes[0], total
+
+
+def _snippet_dispatch(frag: Fragment, cfg: PipelineConfig, device=None):
+    """Device half of snippet extraction (async, no fetch): blend (+
+    dense keypoint extract for grid_vote) on ``device``."""
+    import jax as _jax
+
+    ch, cw = frag.shape
+    hb2, wb2 = _shape_bucket(ch), _shape_bucket(cw)
+    dots_np = frag.dots
+    if (hb2, wb2) != (ch, cw):
+        dots_np = np.pad(
+            dots_np, ((0, hb2 - ch), (0, wb2 - cw), (0, 0))
+        )
+    dots = (
+        jnp.asarray(dots_np)
+        if device is None
+        else jax.device_put(dots_np, device)
+    )
+    use_pallas = _jax.devices()[0].platform in ("tpu", "axon")
+    image, mask, w8, codes, total_dev = _snippet_device(
+        dots,
+        jnp.int32(ch),
+        jnp.int32(cw),
+        kh=cfg.kernel_half,
+        use_pallas=use_pallas,
+        grid_vote=cfg.matcher == "grid_vote",
+    )
+    return frag, image, mask, (w8, codes), total_dev
+
+
+def _snippet_finalize(pend, cfg: PipelineConfig) -> _Snippet:
+    frag, image, mask, dense_pack, total_dev = pend
+    ch, cw = frag.shape
     hb, wb = _bucket(ch), _bucket(cw)
     mask_np = np.zeros((hb, wb), np.uint8)
-    mask_np[:ch, :cw] = np.asarray(mask)
+    mask_np[:ch, :cw] = np.asarray(mask)[:ch, :cw]
 
-    if cfg.matcher != "grid_vote":
+    if total_dev is None:
         # correlation families match blended canvases directly — no
         # keypoint tables needed
         image_np = np.zeros((hb, wb), np.uint8)
-        image_np[:ch, :cw] = np.asarray(image)
+        image_np[:ch, :cw] = np.asarray(image)[:ch, :cw]
         return _Snippet(
             fragment=frag,
             mask_bucket=mask_np,
@@ -86,19 +154,24 @@ def _extract_snippet(frag: Fragment, cfg: PipelineConfig) -> _Snippet:
             image_bucket=image_np,
         )
 
-    layout = make_layout(cw, ch, 1, 1, 0)
-    dense = kpe_ops.extract_dense(image[None], layout)
     # the reference keeps EVERY keypoint of the blended canvas in its
     # hash-map region (fgs.hpp:80-103); a fixed-capacity table that
     # silently truncates makes the 0.66 cell-ratio validation reject
     # merges the reference accepts (found by the compiled-reference e2e
     # differential on a teleport clip).  Size the table to the true
     # keypoint count, in x4 buckets to bound recompiles.
-    total = int(np.asarray((dense.weight[0] > 0).sum()))
+    w8, codes = dense_pack
+    total = int(np.asarray(total_dev))
     cap = cfg.splice_capacity
     while cap < total:
         cap *= 4
-    tabs = table_ops.extract_tables(dense.weight, dense.codes, layout, cap)
+    hb2, wb2 = w8.shape
+    layout = make_layout(wb2, hb2, 1, 1, 0)
+    # positions computed over the shape-bucketed slab equal true-canvas
+    # coords (the pad is bottom/right) and row-major selection order is
+    # width-invariant, so these tables are bit-identical to exact-canvas
+    # extraction (tests/test_ops_splice.py::test_bucketed_snippet_...)
+    tabs = table_ops.extract_tables(w8[None], codes[None], layout, cap)
     assert not bool(np.asarray(tabs.overflow).any()), (
         "splice table overflow despite count-sized capacity"
     )
@@ -113,9 +186,79 @@ def _extract_snippet(frag: Fragment, cfg: PipelineConfig) -> _Snippet:
     )
 
 
+def _extract_snippet(frag: Fragment, cfg: PipelineConfig) -> _Snippet:
+    return _snippet_finalize(_snippet_dispatch(frag, cfg), cfg)
+
+
+def _extract_snippets(
+    fragments: List[Fragment], cfg: PipelineConfig
+) -> List[_Snippet]:
+    """Initial snippet extraction across devices — the reference's
+    parallel transform (fgs.hpp:91-103) as round-robin device placement:
+    every fragment's blend + dense extract dispatches before the first
+    blocking fetch, so N devices extract N snippets concurrently.  (The
+    greedy loop's merged-snippet re-extraction is inherently one at a
+    time and stays on the default device.)"""
+    import jax
+
+    devs = jax.local_devices()
+    if len(devs) == 1 or len(fragments) == 1:
+        return [_extract_snippet(f, cfg) for f in fragments]
+    pending = [
+        _snippet_dispatch(f, cfg, devs[i % len(devs)])
+        for i, f in enumerate(fragments)
+    ]
+    return [_snippet_finalize(p, cfg) for p in pending]
+
+
+class _PadState:
+    """Clip-wide compile-shape canonicalization for the splice matchers.
+
+    The cellular matcher compiles per (table capacity, mask bucket,
+    multiplicity) signature; a cold multi-fragment map used to pay one
+    tunnel compile per pair combination.  Padding every pair to the
+    ROLLING MAXIMUM capacity and mask bucket over live snippets is
+    semantics-invariant — extra table rows are invalid (sentinel codes),
+    the mask bucket enters only as zero padding and key strides, and the
+    validation spans use the true dims — so the whole greedy stage
+    reuses ONE program per multiplicity until a merged snippet exceeds
+    the previous maximum (at most one new shape per growth level)."""
+
+    def __init__(self) -> None:
+        self.cap = 0
+        self.hb = 0
+        self.wb = 0
+
+    def update(self, snippets: List["_Snippet"]) -> None:
+        for s in snippets:
+            self.cap = max(self.cap, s.codes.shape[0])
+            self.hb = max(self.hb, s.mask_bucket.shape[0])
+            self.wb = max(self.wb, s.mask_bucket.shape[1])
+
+    def mask(self, s: "_Snippet") -> np.ndarray:
+        m = s.mask_bucket
+        if m.shape == (self.hb, self.wb):
+            return m
+        return np.pad(
+            m, ((0, self.hb - m.shape[0]), (0, self.wb - m.shape[1]))
+        )
+
+    def image(self, s: "_Snippet") -> np.ndarray:
+        im = s.image_bucket
+        if im.shape == (self.hb, self.wb):
+            return im
+        return np.pad(
+            im, ((0, self.hb - im.shape[0]), (0, self.wb - im.shape[1]))
+        )
+
+
 def _match(
-    head: _Snippet, other: _Snippet, cfg: PipelineConfig
+    head: _Snippet, other: _Snippet, cfg: PipelineConfig,
+    pad: Optional[_PadState] = None,
 ) -> Optional[Tuple[Tuple[int, int], int]]:
+    if pad is None:
+        pad = _PadState()
+        pad.update([head, other])
     if cfg.matcher != "grid_vote":
         # dense correlation families (bucketed canvases bound recompiles;
         # zero padding is masked out, so offsets are exact)
@@ -125,10 +268,10 @@ def _match(
             else correlate.match_canvases_pyramid
         )
         res = fn(
-            jnp.asarray(head.image_bucket),
-            jnp.asarray(head.mask_bucket),
-            jnp.asarray(other.image_bucket),
-            jnp.asarray(other.mask_bucket),
+            jnp.asarray(pad.image(head)),
+            jnp.asarray(pad.mask(head)),
+            jnp.asarray(pad.image(other)),
+            jnp.asarray(pad.mask(other)),
             min_overlap=cfg.splice_min_overlap,
             ratio=cfg.splice_xcorr_ratio,
         )
@@ -137,9 +280,9 @@ def _match(
         off = tuple(int(v) for v in np.asarray(res.offset))
         return off, int(res.count)
 
-    # snippets size their tables to their own keypoint counts (x4
-    # buckets); pad the smaller table so the pair shares one shape
-    k = max(head.codes.shape[0], other.codes.shape[0])
+    # pair tables pad to the clip-wide rolling max capacity (one compile
+    # signature per stage, not per pair combination)
+    k = pad.cap
 
     def padded(s):
         extra = k - s.codes.shape[0]
@@ -195,10 +338,11 @@ def _match(
 
 
 def _match_partial(
-    head: _Snippet, rest: List[_Snippet], cfg: PipelineConfig
+    head: _Snippet, rest: List[_Snippet], cfg: PipelineConfig,
+    pad: Optional[_PadState] = None,
 ) -> None:
     for other in rest:
-        vote = _match(head, other, cfg)
+        vote = _match(head, other, cfg, pad)
         if vote is not None:
             off, count = vote
             head.edges.append(_Edge(True, off, count, other))
@@ -277,9 +421,11 @@ def splice(
         assert fragments[0].store is not None
         frame_dims = (fragments[0].store.width, fragments[0].store.height)
 
-    snippets = [_extract_snippet(f, cfg) for f in fragments]
+    snippets = _extract_snippets(fragments, cfg)
+    pad = _PadState()
+    pad.update(snippets)
     for i in range(len(snippets)):
-        _match_partial(snippets[i], snippets[i + 1 :], cfg)
+        _match_partial(snippets[i], snippets[i + 1 :], cfg, pad)
 
     while True:
         best: Optional[Tuple[_Snippet, _Edge]] = None
@@ -300,6 +446,7 @@ def splice(
         snippets = [s for s in snippets if s is not left and s is not right]
         merged = _extract_snippet(merged_frag, cfg)
         snippets.insert(0, merged)
-        _match_partial(snippets[0], snippets[1:], cfg)
+        pad.update([merged])
+        _match_partial(snippets[0], snippets[1:], cfg, pad)
 
     return [s.fragment for s in snippets]

@@ -71,6 +71,50 @@ def test_disjoint_blends_reject():
     assert j == s  # both reject (or both accept a coincidence)
 
 
+def test_bucketed_snippet_equals_exact_canvas():
+    """pipeline.splice extracts snippets on shape-bucketed canvases
+    (one compiled program per bucket); the tables must be BIT-IDENTICAL
+    to exact-canvas extraction — interior keypoints' windows never read
+    the pad, positions are width-invariant, row-major order preserved."""
+    from remap_tpu.config import PipelineConfig
+    from remap_tpu.pipeline.splice import _extract_snippet
+    from remap_tpu.pipeline.state import Fragment
+
+    rng = np.random.default_rng(31)
+    # deliberately awkward true dims (not multiples of any bucket)
+    ch, cw = 187, 309
+    world = testing.make_world(ch, cw, rng)
+    dots = np.zeros((ch, cw, 16), np.uint16)
+    ys, xs = np.indices((ch, cw))
+    dots[ys, xs, world] = 3                       # clean blend == world
+    dots[: 7, :, :] = 0                           # empty margin band
+    frag = Fragment(dots=dots, zero=(0, 0), frames=[], store=None)
+
+    cfg = PipelineConfig(screen_width=cw, screen_height=ch)
+    snip = _extract_snippet(frag, cfg)
+
+    # exact-canvas reference extraction
+    image = dots.argmax(axis=2).astype(np.uint8)
+    layout = make_layout(cw, ch, 1, 1, 0)
+    dense = jkpe.extract_dense(jnp.asarray(image[None]), layout)
+    total = int(np.asarray((dense.weight[0] > 0).sum()))
+    cap = cfg.splice_capacity
+    while cap < total:
+        cap *= 4
+    tabs = jtab.extract_tables(dense.weight, dense.codes, layout, cap)
+
+    assert snip.codes.shape[0] == cap
+    valid = np.asarray(tabs.valid[0, 0])
+    np.testing.assert_array_equal(snip.valid, valid)
+    assert valid.sum() == total
+    # invalid rows hold junk gathers (position 0 of differently-shaped
+    # slabs) and are masked out of every consumer — compare valid rows
+    np.testing.assert_array_equal(snip.codes[valid],
+                                  np.asarray(tabs.codes[0, 0])[valid])
+    np.testing.assert_array_equal(snip.pos[valid],
+                                  np.asarray(tabs.pos[0, 0])[valid])
+
+
 def test_count_guided_multiplicity_jump():
     """Repetitive tile content must resolve with ONE count-guided
     multiplicity retry (the join reports the exact max code repetition)

@@ -184,3 +184,71 @@ def test_streaming_equals_batch_collect():
         ok_all.extend(bool(v) for v in np.asarray(ok))
     assert offs_all == [tuple(o) for o in col.offsets]
     assert ok_all == col.matched.tolist()
+
+
+def _teleport_fragments(n_frags=3, seed=5):
+    """Collect a clip with random-noise breaks -> n_frags fragments."""
+    from remap_tpu.pipeline import collect as collect_stage
+
+    rng = np.random.default_rng(seed)
+    world = testing.make_world(200, 280, rng)
+    frames = []
+    for k in range(n_frags):
+        x0, y0 = 10 + 60 * k, 8 + 30 * (k % 2)
+        for i in range(6):
+            frames.append(
+                world[y0 + 2 * i : y0 + 2 * i + 64,
+                      x0 + 3 * i : x0 + 3 * i + 96]
+            )
+        if k + 1 < n_frags:  # noise frame forces a fragment break
+            frames.append(
+                rng.integers(0, 16, size=(64, 96), dtype=np.uint8)
+            )
+    cfg = PipelineConfig(
+        screen_width=96, screen_height=64, region_capacity=768,
+        frame_batch=8,
+    )
+    col = collect_stage.collect(iter(frames), cfg)
+    assert len(col.fragments) >= n_frags
+    return col.fragments, cfg
+
+
+def test_fragment_axis_parallel_stages_equal_serial():
+    """The reference's three std::execution::par sites (mpb.hpp:82,
+    fdf.hpp:24, fgs.hpp:98) as round-robin device placement: every
+    fragment-parallel stage must produce results IDENTICAL to the
+    serial single-device path on the 8-device mesh."""
+    from remap_tpu.parallel import fragments as frag_par
+    from remap_tpu.pipeline import clean as clean_stage
+    from remap_tpu.pipeline import foreground as fg_stage
+    from remap_tpu.pipeline import splice as splice_stage
+
+    fragments, cfg = _teleport_fragments()
+    devs = jax.local_devices()
+    assert len(devs) >= 8
+
+    # fgs.hpp:98 — snippet extraction
+    par_snips = splice_stage._extract_snippets(fragments, cfg)
+    ser_snips = [splice_stage._extract_snippet(f, cfg) for f in fragments]
+    for a, b in zip(par_snips, ser_snips):
+        np.testing.assert_array_equal(a.mask_bucket, b.mask_bucket)
+        np.testing.assert_array_equal(a.codes, b.codes)
+        np.testing.assert_array_equal(a.pos, b.pos)
+        np.testing.assert_array_equal(a.valid, b.valid)
+
+    # fdf.hpp:24 + the per-fragment frame loops
+    par_filtered = fg_stage.filter_fragments(fragments, cfg)
+    assert len(devs) > 1  # multi path really ran
+    # serial path: single-fragment calls take the single-device branch
+    ser_filtered = []
+    for f in fragments:
+        ser_filtered.extend(fg_stage.filter_fragments([f], cfg))
+    for a, b in zip(par_filtered, ser_filtered):
+        np.testing.assert_array_equal(a.dots, b.dots)
+
+    # mpb.hpp:82 — arf per fragment
+    par_maps = frag_par.clean_fragments(par_filtered, cfg, devs)
+    ser_maps = [clean_stage.clean_fragment(f, cfg) for f in par_filtered]
+    assert len(par_maps) == len(ser_maps)
+    for a, b in zip(par_maps, ser_maps):
+        np.testing.assert_array_equal(a, b)
