@@ -154,10 +154,9 @@ def main() -> None:
         spr_xy[i] = (sx, sy)
 
     def frames():
-        f = np.empty((H, W), np.uint8)
         for i in range(n):
             x, y = path[i]
-            f[:] = chrome
+            f = chrome.copy()   # fresh buffer: consumers batch references
             view = f[BORDER : BORDER + AH, BORDER : BORDER + AW]
             view[:] = world[y : y + AH, x : x + AW]
             ox, oy = spr_xy[i]
@@ -228,12 +227,14 @@ def main() -> None:
     blend = np.asarray(frag.dots).argmax(axis=2).astype(np.uint8)
     painted = np.asarray(frag.dots).sum(axis=2) > 0
     ys, xs = np.nonzero(painted)
-    # anchor the canvas to the world: positions are canvas coords of
-    # frame blits; frame k's canvas position p corresponds to world
-    # coords path[k] (action-window views)
+    # anchor the canvas to the world: frame k's collected view starts at
+    # world path[k] + the window crop's offset within the action area
+    # (aws shrinks accepted bounds by 1 px — the reference's contract)
+    crop = result.window.crop
+    cdx, cdy = crop.left - BORDER, crop.top - BORDER
     ref = frag.frames[0]
-    off = (path[ref.number][0] - ref.position[0],
-           path[ref.number][1] - ref.position[1])
+    off = (path[ref.number][0] + cdx - ref.position[0],
+           path[ref.number][1] + cdy - ref.position[1])
     wy = ys + off[1]
     wx = xs + off[0]
     inb = (wy >= 0) & (wy < wh) & (wx >= 0) & (wx < ww)

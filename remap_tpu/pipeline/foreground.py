@@ -72,16 +72,19 @@ def filter_fragments(
             else:
                 packed = store.device_packed_batch(chunk)
             recompute = not store.has_medians
-            meds = None if recompute else store.medians_batch(chunk)
+            # medians ride the link packed (2 px/byte) and unpack on
+            # device, exactly like the frames themselves
+            meds_p = None if recompute else store.packed_medians_batch(chunk)
             if n_real < b:
                 pad = b - n_real
                 packed = jnp.concatenate(
                     [packed,
                      jnp.zeros((pad,) + packed.shape[1:], jnp.uint8)]
                 )
-                if meds is not None:
-                    meds = np.concatenate(
-                        [meds, np.zeros((pad, fh, fw), np.uint8)]
+                if meds_p is not None:
+                    meds_p = np.concatenate(
+                        [meds_p, np.zeros((pad,) + meds_p.shape[1:],
+                                          np.uint8)]
                     )
             imgs = _unpack_jit(jnp.asarray(packed), fw)
             apos = np.array(
@@ -89,10 +92,13 @@ def filter_fragments(
                 + [(0, 0)] * (b - n_real),
                 np.int32,
             )
-            if meds is not None and multi and dev != default_dev:
-                meds_dev = jax.device_put(meds, dev)
-            elif meds is not None:
-                meds_dev = jnp.asarray(meds)
+            if meds_p is not None:
+                meds_up = (
+                    jax.device_put(meds_p, dev)
+                    if multi and dev != default_dev
+                    else jnp.asarray(meds_p)
+                )
+                meds_dev = _unpack_jit(meds_up, fw)
             else:
                 meds_dev = None
             fg = fde_ops.extract_batch(

@@ -174,6 +174,12 @@ class FrameStore:
     def medians_batch(self, numbers: List[int]) -> np.ndarray:
         return np.stack([self.median(n) for n in numbers])
 
+    def packed_medians_batch(self, numbers: List[int]) -> np.ndarray:
+        """Packed [B, H, ceil(W/2)] uint8 medians — upload these and
+        unpack on device: halves the host->device median traffic the
+        foreground pass pays per batch and skips the host unpack loop."""
+        return np.stack([self._medians[n] for n in numbers])
+
     @property
     def nbytes(self) -> int:
         return sum(a.nbytes for a in self._images.values()) + sum(
