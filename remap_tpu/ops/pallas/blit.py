@@ -68,6 +68,21 @@ def _pick_tiling(ah: int, aw: int, fh: int, fw: int):
     raise ValueError(f"atlas {ah}x{aw} too large for a VMEM-resident blit")
 
 
+def supports(atlas_h: int, atlas_w: int, fh: int, fw: int) -> bool:
+    """True when the VMEM-resident kernel can hold this atlas.
+
+    Session-scale canvases (multi-thousand-pixel fragments, BASELINE
+    config 4) exceed the 16 MB core VMEM even one channel at a time —
+    callers fall back to the XLA scatter path, which streams the atlas
+    through HBM and has no size ceiling."""
+    ah, aw = padded_dims(atlas_h, atlas_w)
+    try:
+        _pick_tiling(ah, aw, fh, fw)
+        return True
+    except ValueError:
+        return False
+
+
 #: frames blitted per grid step.  One frame per step leaves the kernel
 #: dominated by per-step pipeline overhead (~5.6 ms for 256 NES frames
 #: measured); unrolling GROUP frames per step amortizes it.

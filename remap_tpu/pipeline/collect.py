@@ -430,6 +430,9 @@ def blit_pass(
 
     for numbers, positions in segments:
         zero, (cw, ch) = simulate_growth(positions, fw, fh)
+        # session-scale fragments outgrow the VMEM-resident kernel; the
+        # XLA scatter path streams the atlas through HBM (no ceiling)
+        seg_pallas = use_pallas and pblit.supports(ch, cw, fh, fw)
         dots = None
         # blit in fixed chunks; dummy frames vote nowhere
         for i in range(0, len(numbers), b):
@@ -454,7 +457,7 @@ def blit_pass(
                 + [(0, 0)] * (b - n_real),
                 np.int32,
             )
-            if use_pallas:
+            if seg_pallas:
                 dots = pblit.blit_frames(
                     imgs,
                     vote_ok,
@@ -474,7 +477,7 @@ def blit_pass(
                     masks=1 - vote_ok,
                     dots=dots,
                 )
-        if use_pallas:
+        if seg_pallas:
             dots_np = np.asarray(dots)[:, :ch, :cw].transpose(1, 2, 0)
         else:
             dots_np = np.asarray(dots)
