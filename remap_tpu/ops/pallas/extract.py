@@ -51,8 +51,12 @@ HALO = 2    # kernel half-width: the 5x5 window reaches 2 px (kpe.hpp:16-17)
 # (~20 live planes x 4 B => ~10 MB of the 16 MB budget), measured in
 # LANE-PADDED elements: Mosaic pads the last dim to 128 lanes, so a
 # 312x388 frame occupies 312x512 (the padding is what tipped C64-size
-# whole-frame dispatches 8 KB over the 16 MB budget)
-_SINGLE_CAP = 120_000
+# whole-frame dispatches 8 KB over the 16 MB budget).  120_000 held for
+# frame-shaped dispatches but tipped 336 KB over the scoped-vmem limit
+# on session-scale splice canvases (tile 32 x width 3328, BASELINE
+# config 4's 100k run) — the shave to 108_000 keeps ~10% headroom;
+# tile choice is mechanical, results are tile-independent (tested)
+_SINGLE_CAP = 108_000
 
 
 def _roll2(a, dy, dx):

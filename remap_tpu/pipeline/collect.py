@@ -43,6 +43,7 @@ from remap_tpu.pipeline.state import (
     FrameRef,
     FrameStore,
     pack_nibbles_batch,
+    pack_nibbles_device,
     simulate_growth,
     unpack_nibbles_device,
 )
@@ -122,9 +123,12 @@ def make_collect_step(layout: GridLayout, cfg: PipelineConfig):
             jax.tree.map(lambda t: t[-1:], tabs),
             images[-1:],
         )
+        # medians download PACKED (2 px/byte): the d2h direction is the
+        # slow one on tunnel-attached harnesses, and the host stores
+        # them packed anyway
         return (
-            dense.median, offset, ok, tab_ovf, join_ovf, range_ovf,
-            kp_need, new_carry,
+            pack_nibbles_device(dense.median), offset, ok, tab_ovf,
+            join_ovf, range_ovf, kp_need, new_carry,
         )
 
     return step
@@ -194,7 +198,7 @@ def match_pass(
             store.put_packed_batch(
                 list(range(num, num + n_real)),
                 np.asarray(packed[:n_real]),
-                pack_nibbles_batch(meds) if meds is not None else None,
+                meds,
                 device_packed=packed_dev[:n_real],
             )
 

@@ -90,9 +90,12 @@ class StreamingStitcher:
         ovf = np.asarray(tovf)[:n_real] | np.asarray(jovf)[:n_real] | rovf
         self.overflow_frames += int(ovf.sum())
         self.range_overflow_frames += int(rovf.sum())
-        self.store.put_batch(
+        # the step's medians arrive packed (collect packs on device
+        # before the d2h download); frames pack here — they never
+        # crossed the link in this direction
+        self.store.put_packed_batch(
             list(range(self.frame_no, self.frame_no + n_real)),
-            np.asarray(batch[:n_real]),
+            collect_mod.pack_nibbles_batch(np.asarray(batch[:n_real])),
             np.asarray(median)[:n_real] if self.cfg.store_medians else None,
         )
         self.frame_no += n_real
