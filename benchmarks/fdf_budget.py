@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Per-op device budget of the foreground (fdf) stage at NES shapes.
+
+The five-stage e2e wall attributes ~50-75% to fdf depending on ambient
+tunnel load (BENCHMARKS.md round-4 re-measure); this script isolates the
+stage's device components on ONE warmed [B, H, W] batch so the wall can
+be split into compute vs link vs ambient:
+
+  1. packed gather from the HBM mirror + device unpack
+  2. median recompute (Pallas dense extract — the default
+     store_medians=False path, fde.hpp medians are a pure frame function)
+  3. background equality mask (vmapped roll-window compare)
+  4. connected components + stats (Pallas segmented scan)
+  5. component-gated foreground masks
+  6. masked vote blit into the fragment canvas
+
+Timing protocol (tunnel-safe, see BENCHMARKS.md "measurement traps"):
+each component is dispatched CHAIN_N times back-to-back with a data
+dependency, then ONE scalar of the last result is fetched; per-op time =
+wall / CHAIN_N.  block_until_ready is not a barrier through the tunnel.
+
+Usage: python benchmarks/fdf_budget.py [--batch 256] [--chain 16]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def timed(name, fn, chain, *args):
+    """Warm once, then dispatch `chain` iterations back-to-back (the
+    device queue serializes them) and fetch ONE element of the last
+    output to force completion of the whole chain."""
+    out = fn(*args)
+    leaf = out[0] if isinstance(out, tuple) else out
+    _ = float(np.asarray(leaf.ravel()[0]))  # warm + barrier
+    t0 = time.perf_counter()
+    for _ in range(chain):
+        out = fn(*args)
+        leaf = out[0] if isinstance(out, tuple) else out
+    _ = float(np.asarray(leaf.ravel()[0]))
+    ms = (time.perf_counter() - t0) / chain * 1000
+    print(f"{name:42s} {ms:8.2f} ms/batch", flush=True)
+    return ms
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--chain", type=int, default=16)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from remap_tpu.utils.runtime import setup_cache
+
+    setup_cache()
+
+    from remap_tpu.config import PipelineConfig
+    from remap_tpu.core.regions import make_layout
+    from remap_tpu.ops import atlas as atlas_ops
+    from remap_tpu.ops import fde as fde_ops
+    from remap_tpu.ops import kpe as kpe_ops
+    from remap_tpu.ops.pallas import cc as pcc
+    from remap_tpu.pipeline.collect import _unpack_jit
+    from remap_tpu.pipeline.state import pack_nibbles_batch
+
+    use_pallas = jax.devices()[0].platform in ("tpu", "axon")
+    B, H, W = args.batch, 208, 240          # NES action window-ish
+    ch, cw = 280, 320
+    rng = np.random.default_rng(7)
+
+    frames = rng.integers(0, 16, size=(B, H, W), dtype=np.uint8)
+    packed_np = pack_nibbles_batch(frames)
+    packed = jnp.asarray(packed_np)
+    background = jnp.asarray(
+        rng.integers(0, 16, size=(ch, cw), dtype=np.uint8)
+    )
+    apos = jnp.asarray(
+        np.stack(
+            [rng.integers(0, cw - W, B), rng.integers(0, ch - H, B)], axis=1
+        ).astype(np.int32)
+    )
+    dots0 = jnp.zeros((ch, cw, atlas_ops.DEPTH), jnp.uint16)
+    cfg = PipelineConfig(screen_width=W, screen_height=H)
+
+    walls = {}
+
+    # 1. device unpack of an already-resident packed batch (the HBM
+    # mirror gather is a [B]-row take: included)
+    idx = jnp.asarray(np.arange(B, dtype=np.int32))
+    unpack = jax.jit(lambda p, i: _unpack_jit(p[i], W))
+    walls["unpack+gather"] = timed(
+        "packed gather + device unpack", unpack, args.chain, packed, idx
+    )
+    imgs = unpack(packed, idx)
+
+    # 2. median recompute (the default fdf path)
+    layout = make_layout(W, H, 1, 1, 0)
+    med_fn = jax.jit(
+        lambda f: kpe_ops.extract_dense(f, layout, use_pallas).median
+    )
+    walls["median recompute"] = timed(
+        "median recompute (dense extract)", med_fn, args.chain, imgs
+    )
+    medians = med_fn(imgs)
+
+    # 3. equality mask vs background
+    eq_fn = jax.jit(
+        lambda f, p: jax.vmap(
+            lambda fr, po: ~fde_ops.equality_mask(background, fr, po)
+        )(f, p)
+    )
+    walls["equality mask"] = timed(
+        "background equality mask", eq_fn, args.chain, imgs, apos
+    )
+    changed = eq_fn(imgs, apos)
+
+    # 4. CC + stats
+    if use_pallas and pcc.supports_stats(H, W):
+        cc_fn = jax.jit(lambda m, c: pcc.label_stats_batch(m, c))
+        walls["cc+stats"] = timed(
+            "connected components + stats (Pallas)", cc_fn, args.chain,
+            medians, changed,
+        )
+    else:
+        from remap_tpu.ops import cc as cc_ops
+
+        cc_fn = jax.jit(lambda m, c: (jax.vmap(cc_ops.label_components)(m),))
+        walls["cc+stats"] = timed(
+            "connected components (XLA scan)", cc_fn, args.chain,
+            medians, changed,
+        )
+
+    # 5. whole extract_batch (1+2+3+4+mask assembly fused by XLA)
+    ex_fn = jax.jit(
+        lambda f, p: fde_ops.extract_batch(
+            background, f, None, p,
+            area_divisor=cfg.fde_area_divisor,
+            compute_medians=True, use_pallas=use_pallas,
+        )
+    )
+    walls["extract_batch total"] = timed(
+        "fde.extract_batch (fused total)", ex_fn, args.chain, imgs, apos
+    )
+    fg = ex_fn(imgs, apos)
+
+    # 6. masked vote blit
+    blit_fn = jax.jit(
+        lambda f, m, d: atlas_ops.blit_frames(
+            f, apos, atlas_h=ch, atlas_w=cw, masks=m, dots=d
+        )
+    )
+    walls["masked blit"] = timed(
+        "masked vote blit (XLA)", blit_fn, args.chain, imgs, fg, dots0
+    )
+
+    per_batch = walls["unpack+gather"] + walls["median recompute"] + \
+        walls["equality mask"] + walls["cc+stats"] + walls["masked blit"]
+    fused = walls["unpack+gather"] + walls["extract_batch total"] + \
+        walls["masked blit"]
+    print(json.dumps({
+        "metric": "fdf per-batch device budget (compute floor)",
+        "batch": B,
+        "component_ms": {k: round(v, 2) for k, v in walls.items()},
+        "sum_unfused_ms": round(per_batch, 2),
+        "pipeline_path_ms": round(fused, 2),
+        "value": round(B / (fused / 1000), 1),
+        "unit": "frames/sec/chip (fdf device compute only)",
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

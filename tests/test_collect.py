@@ -331,3 +331,23 @@ def test_capacity_escalation_jumps_to_measured_count(monkeypatch):
     np.testing.assert_array_equal(res.matched, ref.matched)
     for a, b in zip(res.fragments, ref.fragments):
         np.testing.assert_array_equal(a.dots, b.dots)
+
+
+def test_session_scale_blit_gate():
+    """Session-scale fragments exceed the VMEM-resident blit kernel's
+    budget (BASELINE config 4's 100k run grew a 1992x3584 canvas);
+    pallas.blit.supports must route them to the XLA scatter path while
+    clip-scale fragments keep the kernel."""
+    from remap_tpu.ops.pallas import blit as pblit
+
+    assert pblit.supports(280, 320, 240, 256)       # NES clip fragment
+    assert pblit.supports(640, 704, 480, 640)       # VGA clip fragment
+    assert not pblit.supports(1992, 3584, 208, 240)  # 100k session canvas
+    # the extract dispatcher must also cover session canvases (banded)
+    from remap_tpu.ops.pallas import extract as pex
+
+    tile = pex.pick_tile(2048, 3328)
+    assert tile is not None and tile % 8 == 0
+    # the scoped-vmem model: lane-padded input band must stay under cap
+    pw = -(-3328 // 128) * 128
+    assert (tile + 2 * pex.HALO) * pw <= pex._SINGLE_CAP
