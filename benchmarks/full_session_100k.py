@@ -98,6 +98,10 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=100_096)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--world", type=int, default=4096)
+    ap.add_argument("--ckpt", default=None,
+                    help="builder checkpoint dir: a killed run (flaky "
+                         "tunnel) resumes from the last stage boundary")
+    ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -186,6 +190,12 @@ def main() -> None:
         def on_window(self, window):
             self._mark("aws")
             assert window is not None, "no action window found"
+            if args.ckpt:
+                import os
+                os.makedirs(args.ckpt, exist_ok=True)
+                with open(f"{args.ckpt}/window.json", "w") as f:
+                    json.dump({"left": window.crop.left,
+                               "top": window.crop.top}, f)
 
         def on_collect(self, result):
             self._mark("frc")
@@ -210,7 +220,8 @@ def main() -> None:
 
     cb = TimedCallbacks()
     t_start = time.perf_counter()
-    result = builder.build(frames, cfg, callbacks=cb)
+    result = builder.build(frames, cfg, callbacks=cb,
+                           checkpoint_dir=args.ckpt, resume=args.resume)
     wall = time.perf_counter() - t_start
 
     assert len(result.maps) == 1, len(result.maps)
@@ -230,8 +241,13 @@ def main() -> None:
     # anchor the canvas to the world: frame k's collected view starts at
     # world path[k] + the window crop's offset within the action area
     # (aws shrinks accepted bounds by 1 px — the reference's contract)
-    crop = result.window.crop
-    cdx, cdy = crop.left - BORDER, crop.top - BORDER
+    if result.window is not None:
+        crop_left, crop_top = result.window.crop.left, result.window.crop.top
+    else:  # resumed past the window scan: crop persisted on first pass
+        with open(f"{args.ckpt}/window.json") as f:
+            w = json.load(f)
+        crop_left, crop_top = w["left"], w["top"]
+    cdx, cdy = crop_left - BORDER, crop_top - BORDER
     ref = frag.frames[0]
     off = (path[ref.number][0] + cdx - ref.position[0],
            path[ref.number][1] + cdy - ref.position[1])
@@ -274,6 +290,7 @@ def main() -> None:
         "peak_host_rss_mb": rss,
         "peak_device_mb": peak_dev,
         "final_map_agreement": round(agree, 6),
+        "resumed": bool(args.resume and args.ckpt),
     }), flush=True)
 
 
