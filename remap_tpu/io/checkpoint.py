@@ -60,10 +60,17 @@ def load(directory: str, tag: str) -> List[Fragment]:
     if os.path.exists(store_path):
         store = FrameStore(meta["height"], meta["width"])
         data = np.load(store_path)
-        for k, num in enumerate(data["numbers"]):
-            store._images[int(num)] = data["images"][k]
-            if "medians" in data:
-                store._medians[int(num)] = data["medians"][k]
+        # materialize each array ONCE: NpzFile re-decompresses the whole
+        # member on every __getitem__, so indexing data["images"][k]
+        # inside the loop is O(frames x store-bytes) — a 100k-frame
+        # session checkpoint (3.5 GB packed) never finished loading
+        numbers = data["numbers"]
+        images = data["images"]
+        medians = data["medians"] if "medians" in data else None
+        for k, num in enumerate(numbers):
+            store._images[int(num)] = images[k]
+            if medians is not None:
+                store._medians[int(num)] = medians[k]
     fragments = []
     for i in range(meta["count"]):
         data = np.load(os.path.join(root, f"fragment{i}.npz"))
