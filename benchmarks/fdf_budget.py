@@ -138,6 +138,38 @@ def main() -> None:
             medians, changed,
         )
 
+    # 4b. mask-assembly pieces (the gap between the component sum and
+    # the fused total lives here)
+    if use_pallas and pcc.supports_stats(H, W):
+        labels, stats = cc_fn(medians, changed)
+        from remap_tpu.ops import cc as cc_ops
+
+        big = H * W
+        seg_fn = jax.jit(
+            lambda lab: jax.vmap(
+                lambda s, i: jax.ops.segment_sum(
+                    jnp.where(i, 1, 0), s, num_segments=big
+                )
+            )(jnp.clip(lab.reshape(args.batch, -1), 0, big - 1),
+              lab.reshape(args.batch, -1) < big)
+        )
+        walls["area segment_sum"] = timed(
+            "area segment_sum (scatter-add)", seg_fn, args.chain, labels
+        )
+        ql_fn = jax.jit(cc_ops.quirky_fill_left_batch)
+        walls["quirky_fill_left"] = timed(
+            "quirky_fill_left_batch", ql_fn, args.chain, labels
+        )
+        masks_fn = jax.jit(
+            lambda lab, st: fde_ops._masks_from_stats(
+                lab, st, (H * W) // cfg.fde_area_divisor
+            )
+        )
+        walls["masks_from_stats"] = timed(
+            "_masks_from_stats (full assembly)", masks_fn, args.chain,
+            labels, stats,
+        )
+
     # 5. whole extract_batch (1+2+3+4+mask assembly fused by XLA)
     ex_fn = jax.jit(
         lambda f, p: fde_ops.extract_batch(

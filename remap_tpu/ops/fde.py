@@ -144,7 +144,12 @@ def extract_batch(
 
         if pcc.supports_stats(h, w):
             labels, stats = pcc.label_stats_batch(medians, changed)
-            return _masks_from_stats(labels, stats, limit).astype(jnp.uint8)
+            masks_fn = (
+                _masks_from_stats_sorted
+                if h * w < (1 << 16)
+                else _masks_from_stats
+            )
+            return masks_fn(labels, stats, limit).astype(jnp.uint8)
         if pcc.supports(h, w):
             labels = pcc.label_components_batch(medians)
         else:
@@ -220,13 +225,22 @@ def _masks_from_stats(
         return jax.vmap(fill)(*args)
 
     def fill_topk(args):
-        # roots are sparse (one per kept component): compact them with
-        # top_k so the difference-array scatter runs on K entries instead
-        # of H*W (all roots rank above non-roots, so every root is
-        # selected whenever the count fits)
+        # roots are sparse (one per kept component): compact their
+        # indices with a single-operand sort (top_k at this k lowers to
+        # a catastrophically slower multi-operand sort on TPU — measured
+        # >600 ms vs 26 ms at [256, 50k]) so the difference-array
+        # scatter runs on K entries instead of H*W
         u, tt, bb, ll, rr = args
-        vals, idx = jax.lax.top_k(u, _ROOT_CAP)
-        g = lambda a: jnp.take_along_axis(a, idx, axis=1)
+        cap = min(_ROOT_CAP, big)
+        iota2 = jnp.broadcast_to(
+            jnp.arange(big, dtype=jnp.int32)[None], u.shape
+        )
+        ridx = jax.lax.sort(
+            (jnp.where(u > 0, iota2, big),), num_keys=1
+        )[0][:, :cap]
+        vals = (ridx < big).astype(jnp.int32)
+        safe_r = jnp.clip(ridx, 0, big - 1)
+        g = lambda a: jnp.take_along_axis(a, safe_r, axis=1)
         return jax.vmap(fill)(vals, g(tt), g(bb), g(ll), g(rr))
 
     args = (upd, t, b_, l_, r_)
@@ -234,6 +248,182 @@ def _masks_from_stats(
     # cap (pathological inputs), the full-size scatter runs instead —
     # a runtime branch, so the common case never pays for it
     inside = jax.lax.cond(
-        jnp.any(upd.sum(axis=1) > _ROOT_CAP), fill_exact, fill_topk, args
+        jnp.any(upd.sum(axis=1) > min(_ROOT_CAP, big)),
+        fill_exact, fill_topk, args,
     )
     return kept.reshape(b, h, w) | inside
+
+
+def _seg_cummax(vals: jax.Array, seg: jax.Array, base: int) -> jax.Array:
+    """Inclusive segmented running max along the last axis.
+
+    ``vals`` must lie in [0, base); ``seg`` is the nondecreasing segment
+    index.  The standard encode trick: cummax of seg*base + val never
+    leaks across segments because the next segment's base exceeds any
+    in-segment encoding."""
+    ax = vals.ndim - 1
+    return jax.lax.cummax(seg * base + vals, axis=ax) - seg * base
+
+
+def _masks_from_stats_sorted(
+    labels: jax.Array,   # [B, H, W] int32
+    stats: jax.Array,    # [B, 5, H, W] int32 (minx, miny, maxx, maxy, chg)
+    area_limit: int,
+) -> jax.Array:
+    """fde::mask via ONE packed sort + segmented scans (big < 2^16).
+
+    The original assembly paid five [B, H*W]-sized scatters (segment
+    ops), a three-operand two-key sort for the quirky fill-left, and two
+    whole-image gathers — ~1.7 s per 256-frame NES batch, 96% of the
+    foreground stage's device time (benchmarks/fdf_budget.py).  Sorting
+    each frame ONCE by (label << 16 | pixel-index) makes every component
+    a contiguous run in row-major pixel order, after which:
+
+    - component AREA is a segment length (two scans),
+    - the quirky fill-left (the reference enclosure's lower_,
+      cdt.hpp:183-190: min over run-endpoint xs that are not strict
+      running maxima in row-major order) is the existing encode-trick
+      cummax + one reverse-scan segmented min — and the sorted path is
+      now ALWAYS exact, so the case-B detector and its two segment ops
+      disappear,
+    - bbox-fill roots are segment starts: root stats come from tiny
+      [B, ROOT_CAP] gathers after top_k compaction instead of
+      whole-image gathers.
+
+    One whole-image scatter remains (kept-flags back to pixel order for
+    the exact-pixels part of the mask).  Semantics identical to
+    :func:`_masks_from_stats` (equality-tested); screens with
+    H*W >= 2^16 use that path unchanged.
+    """
+    b, h, w = labels.shape
+    big = h * w
+    assert big < (1 << 16), "pack requires 16-bit labels/positions"
+    flat = labels.reshape(b, -1)
+    interior = flat < big
+
+    # run endpoints (same-row left/right label boundaries), per pixel
+    def shifted_lab(lab, dx):
+        rolled = jnp.roll(lab, -dx, axis=2)
+        xs_ = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 2)
+        ok = (xs_ + dx >= 0) & (xs_ + dx < w)
+        return jnp.where(ok, rolled, big + 1)
+
+    ep = (
+        (labels != shifted_lab(labels, -1))
+        | (labels != shifted_lab(labels, 1))
+    ) & (labels < big)
+    chg = stats[:, 4].reshape(b, -1) > 0
+
+    key = jnp.where(interior, flat, big).astype(jnp.uint32)
+    pos = jnp.broadcast_to(
+        jnp.arange(big, dtype=jnp.uint32)[None], (b, big)
+    )
+    packed = (key << 16) | pos
+    payload = ep.reshape(b, -1).astype(jnp.int32) | (
+        chg.astype(jnp.int32) << 1
+    )
+    spacked, spay = jax.lax.sort((packed, payload), num_keys=1)
+    sl = (spacked >> 16).astype(jnp.int32)
+    spos = (spacked & 0xFFFF).astype(jnp.int32)
+    sxs = spos % w
+    sep = (spay & 1) > 0
+    valid = sl < big
+
+    idx = jnp.broadcast_to(jnp.arange(big, dtype=jnp.int32)[None], (b, big))
+    # bound: any label change (INCLUDING into the exterior block, which
+    # sorts last — without it the last valid segment's extent would run
+    # through the exterior elements and overcount its area)
+    bound = jnp.concatenate(
+        [jnp.ones((b, 1), bool), sl[:, 1:] != sl[:, :-1]], axis=1
+    )
+    starts = bound & valid
+    seg = jnp.cumsum(starts.astype(jnp.int32), axis=1) - 1
+    seg = jnp.maximum(seg, 0)
+
+    # segment extents -> area (segment length)
+    start_idx = jax.lax.cummax(jnp.where(bound, idx, -1), axis=1)
+    nxt = jnp.where(bound, idx, big)
+    suffix_min_nxt = jax.lax.cummin(nxt[:, ::-1], axis=1)[:, ::-1]
+    next_start = jnp.concatenate(
+        [suffix_min_nxt[:, 1:], jnp.full((b, 1), big, jnp.int32)], axis=1
+    )
+    area_sorted = next_start - start_idx
+
+    kept_sorted = valid & ((spay & 2) > 0) & (area_sorted <= area_limit)
+
+    # quirky fill-left: exclusive running max of endpoint xs, include
+    # non-strict-record endpoints, segment-min of included xs
+    encode = w + 1
+    run_in = jnp.where(sep & valid, sxs, 0)
+    incl_max = _seg_cummax(run_in, seg, encode)
+    prior = jnp.concatenate(
+        [jnp.zeros((b, 1), incl_max.dtype), incl_max[:, :-1]], axis=1
+    )
+    prior = jnp.where(starts, 0, prior)
+    include = sep & valid & (sxs <= prior)
+    contrib = jnp.where(include, sxs, w)
+    # total segment min via a reverse inclusive segmented min (max of
+    # negated values on the reversed arrays; segments stay contiguous)
+    rev_vals = (w - contrib)[:, ::-1]
+    rev_seg = (seg.max(axis=1, keepdims=True) - seg)[:, ::-1]
+    qmin_rev = _seg_cummax(rev_vals, rev_seg, encode)
+    qleft_sorted = w - qmin_rev[:, ::-1]       # total min at segment START
+
+    # roots = kept segment starts; compact, then tiny gathers
+    u_sorted = (starts & kept_sorted).astype(jnp.int32)
+
+    def fill(u, tt, bb, ll, rr):
+        diff = jnp.zeros((h + 1, w + 1), jnp.int32)
+        diff = diff.at[tt, ll].add(u)
+        diff = diff.at[tt, rr].add(-u)
+        diff = diff.at[bb, ll].add(-u)
+        diff = diff.at[bb, rr].add(u)
+        return jnp.cumsum(jnp.cumsum(diff, axis=0), axis=1)[:h, :w] > 0
+
+    def fill_roots(args):
+        u_s, ql_s = args
+        # compact root slots via a 1-op sort of their indices (top_k at
+        # this k lowers to a far slower multi-operand sort on TPU)
+        root_key = jnp.where(u_s > 0, idx, big)
+        ridx = jax.lax.sort((root_key,), num_keys=1)[0][
+            :, : min(_ROOT_CAP, big)
+        ]
+        vals = (ridx < big).astype(jnp.int32)
+        ridx = jnp.clip(ridx, 0, big - 1)
+        g = lambda a: jnp.take_along_axis(a, ridx, axis=1)
+        roots = g(sl)                       # root pixel index == label
+        stat = lambda k: jnp.take_along_axis(
+            stats[:, k].reshape(b, -1), roots, axis=1
+        )
+        tt = jnp.clip(stat(1), 0, h)
+        bb = jnp.clip(stat(3), 0, h)
+        rr = jnp.clip(stat(2), 0, w)
+        ll = jnp.clip(jnp.minimum(g(ql_s), rr), 0, w)
+        return jax.vmap(fill)(vals, tt, bb, ll, rr)
+
+    def fill_dense(args):
+        # pathological root counts: scatter kept/qleft back to pixel
+        # order and run the uncompacted fill (exactness fallback)
+        u_s, ql_s = args
+        bidx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, big))
+        upd = jnp.zeros((b, big), jnp.int32).at[bidx, spos].set(u_s)
+        qlp = jnp.zeros((b, big), jnp.int32).at[bidx, spos].set(ql_s)
+        tt = jnp.clip(stats[:, 1].reshape(b, -1), 0, h)
+        bb = jnp.clip(stats[:, 3].reshape(b, -1), 0, h)
+        rr = jnp.clip(stats[:, 2].reshape(b, -1), 0, w)
+        ll = jnp.clip(jnp.minimum(qlp, rr), 0, w)
+        return jax.vmap(fill)(upd, tt, bb, ll, rr)
+
+    inside = jax.lax.cond(
+        jnp.any(u_sorted.sum(axis=1) > min(_ROOT_CAP, big)),
+        fill_dense,
+        fill_roots,
+        (u_sorted, qleft_sorted),
+    )
+
+    # exact-pixels part: kept flags back to pixel order (the one
+    # remaining whole-image scatter)
+    bidx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, big))
+    pix = jnp.zeros((b, big), bool).at[bidx, spos].set(kept_sorted)
+
+    return pix.reshape(b, h, w) | inside

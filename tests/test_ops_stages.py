@@ -142,3 +142,87 @@ def test_window_scan_ignores_color1_winner():
     assert (swin is None) == (jwin is None)
     if swin is not None:
         assert swin.raw_bounds == jwin.raw_bounds
+
+
+def _stats_from_labels(labels_np, changed_np):
+    """Per-pixel propagated [B, 5, H, W] stats planes (minx, miny, maxx,
+    maxy, chg) synthesized on the host — the convention the Pallas CC
+    stats kernel emits; any consistent synthesis is valid for A/B
+    equality of the two mask-assembly formulations."""
+    b, h, w = labels_np.shape
+    big = h * w
+    out = np.zeros((b, 5, h, w), np.int32)
+    xs = np.arange(big, dtype=np.int32) % w
+    ys = np.arange(big, dtype=np.int32) // w
+    for k in range(b):
+        flat = labels_np[k].reshape(-1)
+        chg = changed_np[k].reshape(-1)
+        o = out[k].reshape(5, -1)
+        for lab in np.unique(flat[flat < big]):
+            m = flat == lab
+            o[0, m] = xs[m].min()
+            o[1, m] = ys[m].min()
+            o[2, m] = xs[m].max()
+            o[3, m] = ys[m].max()
+            o[4, m] = int(chg[m].any())
+    return out
+
+
+def test_masks_from_stats_sorted_equals_original():
+    """The packed-sort + segmented-scan mask assembly must equal the
+    scatter/segment-op original bit-for-bit (same labels, same stats) —
+    including case-B quirky lefts, unset lefts and the area limit."""
+    import jax
+    import jax.numpy as jnp
+
+    from remap_tpu.ops import cc as cc_ops
+    from remap_tpu.ops import fde as fde_ops
+
+    rng = np.random.default_rng(2024)
+    for h, w, tiles in ((24, 31, 3), (17, 16, 2), (40, 60, 5)):
+        meds = []
+        for _ in range(4):
+            base = rng.integers(0, 4, size=(h // tiles + 1, w // tiles + 1))
+            m = np.kron(base, np.ones((tiles, tiles)))[:h, :w]
+            noise = rng.random((h, w)) < 0.15
+            m = np.where(noise, rng.integers(0, 4, size=(h, w)), m)
+            meds.append(m.astype(np.uint8))
+        meds = np.stack(meds)
+        labels = np.asarray(
+            jax.vmap(cc_ops.label_components)(jnp.asarray(meds))
+        )
+        changed = rng.random((4, h, w)) < 0.3
+        stats = _stats_from_labels(labels, changed)
+        limit = (h * w) // 5
+        old = np.asarray(fde_ops._masks_from_stats(
+            jnp.asarray(labels), jnp.asarray(stats), limit
+        ))
+        new = np.asarray(fde_ops._masks_from_stats_sorted(
+            jnp.asarray(labels), jnp.asarray(stats), limit
+        ))
+        np.testing.assert_array_equal(old, new)
+
+
+def test_masks_from_stats_sorted_dense_fallback(monkeypatch):
+    """Root counts past the compaction cap take the dense fill — equal."""
+    import jax
+    import jax.numpy as jnp
+
+    from remap_tpu.ops import cc as cc_ops
+    from remap_tpu.ops import fde as fde_ops
+
+    rng = np.random.default_rng(7)
+    meds = rng.integers(0, 8, size=(2, 20, 25), dtype=np.uint8)
+    labels = np.asarray(
+        jax.vmap(cc_ops.label_components)(jnp.asarray(meds))
+    )
+    changed = np.ones((2, 20, 25), bool)
+    stats = _stats_from_labels(labels, changed)
+    old = np.asarray(fde_ops._masks_from_stats(
+        jnp.asarray(labels), jnp.asarray(stats), 500
+    ))
+    monkeypatch.setattr(fde_ops, "_ROOT_CAP", 4)
+    new = np.asarray(fde_ops._masks_from_stats_sorted(
+        jnp.asarray(labels), jnp.asarray(stats), 500
+    ))
+    np.testing.assert_array_equal(old, new)
