@@ -23,6 +23,7 @@ Usage: python benchmarks/fdf_budget.py [--batch 256] [--chain 16]
 """
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -169,6 +170,20 @@ def main() -> None:
             "_masks_from_stats (full assembly)", masks_fn, args.chain,
             labels, stats,
         )
+        # sorted-assembly bisect: each cut early-returns, so XLA prunes
+        # everything the cut's output does not need — the row DIFFS
+        # attribute the assembly (sort -> +scans -> +fill / +unperm)
+        if H * W < (1 << 16):
+            limit = (H * W) // cfg.fde_area_divisor
+            for cut in ("sort", "scans", "fill", "unperm", None):
+                fn = jax.jit(functools.partial(
+                    fde_ops._masks_from_stats_sorted,
+                    area_limit=limit, _until=cut,
+                ))
+                walls[f"sorted[{cut or 'total'}]"] = timed(
+                    f"_masks_from_stats_sorted (until {cut or 'total'})",
+                    fn, args.chain, labels, stats,
+                )
 
     # 5. whole extract_batch (1+2+3+4+mask assembly fused by XLA)
     ex_fn = jax.jit(

@@ -146,7 +146,7 @@ def extract_batch(
             labels, stats = pcc.label_stats_batch(medians, changed)
             masks_fn = (
                 _masks_from_stats_sorted
-                if h * w < (1 << 16)
+                if h * w * (w + 1) < (1 << 31)
                 else _masks_from_stats
             )
             return masks_fn(labels, stats, limit).astype(jnp.uint8)
@@ -269,6 +269,8 @@ def _masks_from_stats_sorted(
     labels: jax.Array,   # [B, H, W] int32
     stats: jax.Array,    # [B, 5, H, W] int32 (minx, miny, maxx, maxy, chg)
     area_limit: int,
+    _until: str | None = None,   # bench bisect: stop after "sort" /
+                                 # "scans" / "fill" / "unperm"
 ) -> jax.Array:
     """fde::mask via ONE packed sort + segmented scans (big < 2^16).
 
@@ -290,14 +292,17 @@ def _masks_from_stats_sorted(
       [B, ROOT_CAP] gathers after top_k compaction instead of
       whole-image gathers.
 
-    One whole-image scatter remains (kept-flags back to pixel order for
-    the exact-pixels part of the mask).  Semantics identical to
-    :func:`_masks_from_stats` (equality-tested); screens with
-    H*W >= 2^16 use that path unchanged.
+    No whole-image scatter remains: kept flags return to pixel order
+    via a 1-op unpermute sort.  Semantics identical to
+    :func:`_masks_from_stats` (equality-tested).  Screens with
+    H*W >= 2^16 sort (label, pos) as two int32 keys instead of one
+    packed uint32 — same scans; the segmented-scan encode trick needs
+    H*W * (W+1) < 2^31, asserted below (beyond that the scatter-based
+    path runs).
     """
     b, h, w = labels.shape
     big = h * w
-    assert big < (1 << 16), "pack requires 16-bit labels/positions"
+    assert big * (w + 1) < (1 << 31), "segmented-scan encode overflows"
     flat = labels.reshape(b, -1)
     interior = flat < big
 
@@ -314,17 +319,27 @@ def _masks_from_stats_sorted(
     ) & (labels < big)
     chg = stats[:, 4].reshape(b, -1) > 0
 
-    key = jnp.where(interior, flat, big).astype(jnp.uint32)
-    pos = jnp.broadcast_to(
-        jnp.arange(big, dtype=jnp.uint32)[None], (b, big)
-    )
-    packed = (key << 16) | pos
+    key = jnp.where(interior, flat, big)
     payload = ep.reshape(b, -1).astype(jnp.int32) | (
         chg.astype(jnp.int32) << 1
     )
-    spacked, spay = jax.lax.sort((packed, payload), num_keys=1)
-    sl = (spacked >> 16).astype(jnp.int32)
-    spos = (spacked & 0xFFFF).astype(jnp.int32)
+    if big < (1 << 16):
+        pos16 = jnp.broadcast_to(
+            jnp.arange(big, dtype=jnp.uint32)[None], (b, big)
+        )
+        packed = (key.astype(jnp.uint32) << 16) | pos16
+        spacked, spay = jax.lax.sort((packed, payload), num_keys=1)
+        if _until == "sort":
+            return spacked
+        sl = (spacked >> 16).astype(jnp.int32)
+        spos = (spacked & 0xFFFF).astype(jnp.int32)
+    else:
+        pos = jnp.broadcast_to(
+            jnp.arange(big, dtype=jnp.int32)[None], (b, big)
+        )
+        sl, spos, spay = jax.lax.sort((key, pos, payload), num_keys=2)
+        if _until == "sort":
+            return sl
     sxs = spos % w
     sep = (spay & 1) > 0
     valid = sl < big
@@ -371,6 +386,8 @@ def _masks_from_stats_sorted(
 
     # roots = kept segment starts; compact, then tiny gathers
     u_sorted = (starts & kept_sorted).astype(jnp.int32)
+    if _until == "scans":
+        return u_sorted
 
     def fill(u, tt, bb, ll, rr):
         diff = jnp.zeros((h + 1, w + 1), jnp.int32)
@@ -420,10 +437,20 @@ def _masks_from_stats_sorted(
         fill_roots,
         (u_sorted, qleft_sorted),
     )
+    if _until == "fill":
+        return inside
 
-    # exact-pixels part: kept flags back to pixel order (the one
-    # remaining whole-image scatter)
-    bidx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, big))
-    pix = jnp.zeros((b, big), bool).at[bidx, spos].set(kept_sorted)
+    # exact-pixels part: kept flags back to pixel order.  spos is a
+    # permutation of [0, big), so ONE single-operand sort of
+    # (spos << 1 | kept) inverts it with the flag riding in the low
+    # bit — ~4x cheaper than the whole-image scatter it replaces
+    # (docs/INTERNALS.md §3.2 op pricing: 1-op sort ~20 ms vs scatter
+    # ~91 ms at [256, 50k])
+    unperm = jax.lax.sort(
+        ((spos << 1) | kept_sorted.astype(jnp.int32),), num_keys=1
+    )[0]
+    pix = (unperm & 1) > 0
+    if _until == "unperm":
+        return pix
 
     return pix.reshape(b, h, w) | inside

@@ -203,6 +203,43 @@ def test_masks_from_stats_sorted_equals_original():
         np.testing.assert_array_equal(old, new)
 
 
+def test_masks_from_stats_sorted_twokey_equals_original():
+    """Screens with H*W >= 2^16 can't pack (label, pos) into one uint32;
+    the sorted assembly switches to a two-key (label, pos) int32 sort.
+    Equality vs the scatter original at 264x264 (69,696 px) — the size
+    class of the 372x272 gameplay clips, which sit between the 16-bit
+    pack limit and the Pallas stats cap."""
+    import jax
+    import jax.numpy as jnp
+
+    from remap_tpu.ops import cc as cc_ops
+    from remap_tpu.ops import fde as fde_ops
+
+    h, w, tiles = 264, 264, 24
+    rng = np.random.default_rng(11)
+    meds = []
+    for _ in range(2):
+        base = rng.integers(0, 4, size=(h // tiles + 1, w // tiles + 1))
+        m = np.kron(base, np.ones((tiles, tiles)))[:h, :w]
+        noise = rng.random((h, w)) < 0.1
+        m = np.where(noise, rng.integers(0, 4, size=(h, w)), m)
+        meds.append(m.astype(np.uint8))
+    meds = np.stack(meds)
+    labels = np.asarray(
+        jax.vmap(cc_ops.label_components)(jnp.asarray(meds))
+    )
+    changed = rng.random((2, h, w)) < 0.3
+    stats = _stats_from_labels(labels, changed)
+    limit = (h * w) // 5
+    old = np.asarray(fde_ops._masks_from_stats(
+        jnp.asarray(labels), jnp.asarray(stats), limit
+    ))
+    new = np.asarray(fde_ops._masks_from_stats_sorted(
+        jnp.asarray(labels), jnp.asarray(stats), limit
+    ))
+    np.testing.assert_array_equal(old, new)
+
+
 def test_masks_from_stats_sorted_dense_fallback(monkeypatch):
     """Root counts past the compaction cap take the dense fill — equal."""
     import jax
