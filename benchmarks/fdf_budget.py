@@ -54,6 +54,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--chain", type=int, default=16)
+    ap.add_argument("--height", type=int, default=208)
+    ap.add_argument("--width", type=int, default=240)
     args = ap.parse_args()
 
     import jax
@@ -73,8 +75,8 @@ def main() -> None:
     from remap_tpu.pipeline.state import pack_nibbles_batch
 
     use_pallas = jax.devices()[0].platform in ("tpu", "axon")
-    B, H, W = args.batch, 208, 240          # NES action window-ish
-    ch, cw = 280, 320
+    B, H, W = args.batch, args.height, args.width  # default: NES window
+    ch, cw = H + 72, W + 80
     rng = np.random.default_rng(7)
 
     frames = rng.integers(0, 16, size=(B, H, W), dtype=np.uint8)
@@ -83,11 +85,34 @@ def main() -> None:
     background = jnp.asarray(
         rng.integers(0, 16, size=(ch, cw), dtype=np.uint8)
     )
-    apos = jnp.asarray(
-        np.stack(
-            [rng.integers(0, cw - W, B), rng.integers(0, ch - H, B)], axis=1
-        ).astype(np.int32)
+    apos_np = np.stack(
+        [rng.integers(0, cw - W, B), rng.integers(0, ch - H, B)], axis=1
+    ).astype(np.int32)
+    apos = jnp.asarray(apos_np)
+
+    # second regime: tiled world + one small sprite per frame — the
+    # production shape of fdf's inputs (changed = sprite pixels only,
+    # a handful of KEPT components per frame).  iid noise above is the
+    # adversarial regime: ~every pixel is a kept root, so the mask
+    # assembly's exactness fallback (dense fill) runs; real content
+    # takes the compacted-roots path.  Same programs, different data.
+    tile = 16
+    tbase = rng.integers(0, 16, size=(ch // tile + 1, cw // tile + 1))
+    tworld = np.kron(tbase, np.ones((tile, tile), int))[:ch, :cw].astype(
+        np.uint8
     )
+    tframes = np.empty((B, H, W), np.uint8)
+    for i in range(B):
+        x, y = apos_np[i]
+        crop = tworld[y : y + H, x : x + W].copy()
+        sx = rng.integers(0, W - 16)
+        sy = rng.integers(0, H - 12)
+        crop[sy : sy + 12, sx : sx + 16] = rng.integers(
+            0, 16, size=(12, 16), dtype=np.uint8
+        )
+        tframes[i] = crop
+    t_background = jnp.asarray(tworld)
+    t_imgs = jnp.asarray(tframes)
     dots0 = jnp.zeros((ch, cw, atlas_ops.DEPTH), jnp.uint16)
     cfg = PipelineConfig(screen_width=W, screen_height=H)
 
@@ -114,14 +139,15 @@ def main() -> None:
 
     # 3. equality mask vs background
     eq_fn = jax.jit(
-        lambda f, p: jax.vmap(
-            lambda fr, po: ~fde_ops.equality_mask(background, fr, po)
+        lambda bg, f, p: jax.vmap(
+            lambda fr, po: ~fde_ops.equality_mask(bg, fr, po)
         )(f, p)
     )
     walls["equality mask"] = timed(
-        "background equality mask", eq_fn, args.chain, imgs, apos
+        "background equality mask", eq_fn, args.chain, background, imgs,
+        apos,
     )
-    changed = eq_fn(imgs, apos)
+    changed = eq_fn(background, imgs, apos)
 
     # 4. CC + stats
     if use_pallas and pcc.supports_stats(H, W):
@@ -173,7 +199,7 @@ def main() -> None:
         # sorted-assembly bisect: each cut early-returns, so XLA prunes
         # everything the cut's output does not need — the row DIFFS
         # attribute the assembly (sort -> +scans -> +fill / +unperm)
-        if H * W < (1 << 16):
+        if H * W * (W + 1) < (1 << 31):
             limit = (H * W) // cfg.fde_area_divisor
             for cut in ("sort", "scans", "fill", "unperm", None):
                 fn = jax.jit(functools.partial(
@@ -187,16 +213,17 @@ def main() -> None:
 
     # 5. whole extract_batch (1+2+3+4+mask assembly fused by XLA)
     ex_fn = jax.jit(
-        lambda f, p: fde_ops.extract_batch(
-            background, f, None, p,
+        lambda bg, f, p: fde_ops.extract_batch(
+            bg, f, None, p,
             area_divisor=cfg.fde_area_divisor,
             compute_medians=True, use_pallas=use_pallas,
         )
     )
     walls["extract_batch total"] = timed(
-        "fde.extract_batch (fused total)", ex_fn, args.chain, imgs, apos
+        "fde.extract_batch (fused total)", ex_fn, args.chain, background,
+        imgs, apos,
     )
-    fg = ex_fn(imgs, apos)
+    fg = ex_fn(background, imgs, apos)
 
     # 6. masked vote blit
     blit_fn = jax.jit(
@@ -214,11 +241,53 @@ def main() -> None:
         walls["masked blit"]
     print(json.dumps({
         "metric": "fdf per-batch device budget (compute floor)",
+        "regime": "noise (adversarial: ~all pixels kept roots)",
         "batch": B,
         "component_ms": {k: round(v, 2) for k, v in walls.items()},
         "sum_unfused_ms": round(per_batch, 2),
         "pipeline_path_ms": round(fused, 2),
         "value": round(B / (fused / 1000), 1),
+        "unit": "frames/sec/chip (fdf device compute only)",
+    }), flush=True)
+
+    # ---- tiles regime: same compiled programs, production-shaped data
+    twalls = {}
+    t_changed = eq_fn(t_background, t_imgs, apos)
+    t_medians = med_fn(t_imgs)
+    if use_pallas and pcc.supports_stats(H, W):
+        twalls["cc+stats"] = timed(
+            "[tiles] cc + stats (Pallas)", cc_fn, args.chain, t_medians,
+            t_changed,
+        )
+        t_labels, t_stats = cc_fn(t_medians, t_changed)
+        twalls["masks_from_stats"] = timed(
+            "[tiles] _masks_from_stats (scatter)", masks_fn, args.chain,
+            t_labels, t_stats,
+        )
+        if H * W * (W + 1) < (1 << 31):
+            limit = (H * W) // cfg.fde_area_divisor
+            for cut in ("sort", "scans", "fill", "unperm", None):
+                fn = jax.jit(functools.partial(
+                    fde_ops._masks_from_stats_sorted,
+                    area_limit=limit, _until=cut,
+                ))
+                twalls[f"sorted[{cut or 'total'}]"] = timed(
+                    f"[tiles] sorted (until {cut or 'total'})",
+                    fn, args.chain, t_labels, t_stats,
+                )
+    twalls["extract_batch total"] = timed(
+        "[tiles] fde.extract_batch (fused total)", ex_fn, args.chain,
+        t_background, t_imgs, apos,
+    )
+    t_fused = walls["unpack+gather"] + twalls["extract_batch total"] + \
+        walls["masked blit"]
+    print(json.dumps({
+        "metric": "fdf per-batch device budget (compute floor)",
+        "regime": "tiles+sprite (production-shaped: few kept roots)",
+        "batch": B,
+        "component_ms": {k: round(v, 2) for k, v in twalls.items()},
+        "pipeline_path_ms": round(t_fused, 2),
+        "value": round(B / (t_fused / 1000), 1),
         "unit": "frames/sec/chip (fdf device compute only)",
     }), flush=True)
 

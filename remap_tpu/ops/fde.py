@@ -419,12 +419,17 @@ def _masks_from_stats_sorted(
         return jax.vmap(fill)(vals, tt, bb, ll, rr)
 
     def fill_dense(args):
-        # pathological root counts: scatter kept/qleft back to pixel
-        # order and run the uncompacted fill (exactness fallback)
+        # pathological root counts (more than _ROOT_CAP kept components
+        # in some frame — iid-noise content): uncompacted fill, with
+        # the roots/qleft unpermuted back to pixel order by 1-op sorts
+        # (spos is a permutation; value rides below the position key —
+        # the same swap that replaced the kept-flags scatter)
         u_s, ql_s = args
-        bidx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, big))
-        upd = jnp.zeros((b, big), jnp.int32).at[bidx, spos].set(u_s)
-        qlp = jnp.zeros((b, big), jnp.int32).at[bidx, spos].set(ql_s)
+        upd = (
+            jax.lax.sort(((spos << 1) | u_s,), num_keys=1)[0] & 1
+        )
+        qlp_key = spos * (w + 1) + jnp.clip(ql_s, 0, w)
+        qlp = jax.lax.sort((qlp_key,), num_keys=1)[0] % (w + 1)
         tt = jnp.clip(stats[:, 1].reshape(b, -1), 0, h)
         bb = jnp.clip(stats[:, 3].reshape(b, -1), 0, h)
         rr = jnp.clip(stats[:, 2].reshape(b, -1), 0, w)
