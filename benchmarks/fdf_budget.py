@@ -211,6 +211,30 @@ def main() -> None:
                     fn, args.chain, labels, stats,
                 )
 
+    # 4c. labels-only path (no stats kernel — the scoped-VMEM ceiling
+    # route used by >=~79k-padded-px screens: 272x372 gameplay, VGA+)
+    if use_pallas and H * W * (max(H, W) + 1) < (1 << 31):
+        lab_fn = jax.jit(
+            pcc.label_components_batch
+            if pcc.supports(H, W)
+            else pcc.label_components_banded
+        )
+        walls["cc labels-only"] = timed(
+            "connected components, labels only", lab_fn, args.chain,
+            medians,
+        )
+        labels_lo = lab_fn(medians)
+        limit = (H * W) // cfg.fde_area_divisor
+        for cut in ("sort", "scans", "fill", "unperm", None):
+            fn = jax.jit(functools.partial(
+                fde_ops._masks_from_labels_sorted,
+                area_limit=limit, _until=cut,
+            ))
+            walls[f"labsorted[{cut or 'total'}]"] = timed(
+                f"labels-sorted (until {cut or 'total'})",
+                fn, args.chain, labels_lo, changed,
+            )
+
     # 5. whole extract_batch (1+2+3+4+mask assembly fused by XLA)
     ex_fn = jax.jit(
         lambda bg, f, p: fde_ops.extract_batch(
@@ -275,6 +299,41 @@ def main() -> None:
                     f"[tiles] sorted (until {cut or 'total'})",
                     fn, args.chain, t_labels, t_stats,
                 )
+            # on-device exactness cross-check of the two formulations
+            # on this data (one scalar fetched)
+            mism = int(np.asarray(jax.jit(
+                lambda lab, st: jnp.sum(
+                    fde_ops._masks_from_stats(lab, st, limit)
+                    != fde_ops._masks_from_stats_sorted(lab, st, limit)
+                )
+            )(t_labels, t_stats)))
+            print(f"[tiles] sorted-vs-scatter mismatches: {mism}",
+                  flush=True)
+            assert mism == 0, "mask assembly formulations diverge"
+    if use_pallas and H * W * (max(H, W) + 1) < (1 << 31):
+        limit = (H * W) // cfg.fde_area_divisor
+        t_labels_lo = lab_fn(t_medians)
+        for cut in ("sort", "scans", "fill", "unperm", None):
+            fn = jax.jit(functools.partial(
+                fde_ops._masks_from_labels_sorted,
+                area_limit=limit, _until=cut,
+            ))
+            twalls[f"labsorted[{cut or 'total'}]"] = timed(
+                f"[tiles] labels-sorted (until {cut or 'total'})",
+                fn, args.chain, t_labels_lo, t_changed,
+            )
+        # exactness cross-check: labels-only vs the scatter original
+        # fed kernel-free stats derived on device from labels+changed
+        if use_pallas and pcc.supports_stats(H, W):
+            mism = int(np.asarray(jax.jit(
+                lambda lab, st, chg: jnp.sum(
+                    fde_ops._masks_from_stats(lab, st, limit)
+                    != fde_ops._masks_from_labels_sorted(lab, chg, limit)
+                )
+            )(t_labels, t_stats, t_changed)))
+            print(f"[tiles] labels-sorted-vs-scatter mismatches: {mism}",
+                  flush=True)
+            assert mism == 0, "labels-only assembly diverges"
     twalls["extract_batch total"] = timed(
         "[tiles] fde.extract_batch (fused total)", ex_fn, args.chain,
         t_background, t_imgs, apos,

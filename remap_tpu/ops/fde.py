@@ -106,6 +106,192 @@ def foreground_mask(
     return pix.reshape(h, w) | inside
 
 
+def _masks_from_labels_sorted(
+    labels: jax.Array,    # [B, H, W] int32 (min-pixel-index components)
+    changed: jax.Array,   # [B, H, W] bool (per-pixel changed mask)
+    area_limit: int,
+    _until: str | None = None,   # bench bisect, as in the stats variant
+) -> jax.Array:
+    """fde::mask from LABELS alone — every per-component stat the mask
+    needs falls out of the (label, pixel) sort:
+
+    - AREA is a segment length (as in :func:`_masks_from_stats_sorted`),
+    - has-changed is a fwd+rev segmented max of the changed bit riding
+      the sort payload (the reference's seed predicate, cte.hpp:93-99,
+      is per-component ANY over changed pixels),
+    - miny is the label itself divided by W (labels are min-pixel-index
+      in row-major order, so the root pixel IS the bbox top),
+    - maxy/maxx come from the segment END: row-major order puts the max
+      row last, and an inclusive segmented cummax of x gathered at the
+      end yields maxx,
+    - the quirky fill-left is the same scan pair as the stats variant.
+
+    This exists because the in-kernel stats propagation
+    (`pallas.cc.label_stats_batch`) blows the 16 MB scoped-VMEM budget
+    past ~105k padded pixels (measured: 18.88 MB at 272x372 — the
+    gameplay screen size), while the labels-only kernels reach 250k
+    whole-plane and ANY size row-banded.  Deriving stats from the sort
+    the assembly already pays removes the kernel ceiling entirely.
+    Semantics equal :func:`_masks_from_stats` bit-for-bit
+    (equality-tested, incl. the dense fallback, which here runs
+    straight off the sorted-order arrays — the corner scatter of the
+    difference-array fill is order-invariant, so nothing needs
+    unpermuting).
+    """
+    b, h, w = labels.shape
+    big = h * w
+    assert big * (max(h, w) + 1) < (1 << 31), "seg-scan encode overflows"
+    flat = labels.reshape(b, -1)
+    interior = flat < big
+
+    def shifted_lab(lab, dx):
+        rolled = jnp.roll(lab, -dx, axis=2)
+        xs_ = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 2)
+        ok = (xs_ + dx >= 0) & (xs_ + dx < w)
+        return jnp.where(ok, rolled, big + 1)
+
+    ep = (
+        (labels != shifted_lab(labels, -1))
+        | (labels != shifted_lab(labels, 1))
+    ) & (labels < big)
+
+    key = jnp.where(interior, flat, big)
+    payload = ep.reshape(b, -1).astype(jnp.int32) | (
+        changed.reshape(b, -1).astype(jnp.int32) << 1
+    )
+    if big < (1 << 16):
+        pos16 = jnp.broadcast_to(
+            jnp.arange(big, dtype=jnp.uint32)[None], (b, big)
+        )
+        packed = (key.astype(jnp.uint32) << 16) | pos16
+        spacked, spay = jax.lax.sort((packed, payload), num_keys=1)
+        if _until == "sort":
+            return spacked
+        sl = (spacked >> 16).astype(jnp.int32)
+        spos = (spacked & 0xFFFF).astype(jnp.int32)
+    else:
+        pos = jnp.broadcast_to(
+            jnp.arange(big, dtype=jnp.int32)[None], (b, big)
+        )
+        sl, spos, spay = jax.lax.sort((key, pos, payload), num_keys=2)
+        if _until == "sort":
+            return sl
+    sxs = spos % w
+    sep = (spay & 1) > 0
+    valid = sl < big
+
+    idx = jnp.broadcast_to(jnp.arange(big, dtype=jnp.int32)[None], (b, big))
+    bound = jnp.concatenate(
+        [jnp.ones((b, 1), bool), sl[:, 1:] != sl[:, :-1]], axis=1
+    )
+    starts = bound & valid
+    seg = jnp.cumsum(starts.astype(jnp.int32), axis=1) - 1
+    seg = jnp.maximum(seg, 0)
+    rev_seg = (seg.max(axis=1, keepdims=True) - seg)[:, ::-1]
+
+    start_idx = jax.lax.cummax(jnp.where(bound, idx, -1), axis=1)
+    nxt = jnp.where(bound, idx, big)
+    suffix_min_nxt = jax.lax.cummin(nxt[:, ::-1], axis=1)[:, ::-1]
+    next_start = jnp.concatenate(
+        [suffix_min_nxt[:, 1:], jnp.full((b, 1), big, jnp.int32)], axis=1
+    )
+    area_sorted = next_start - start_idx
+
+    # per-component ANY(changed): exterior elements share the trailing
+    # seg value, so mask them to 0 before the max scans
+    chg_bit = jnp.where(valid, (spay >> 1) & 1, 0)
+    fwd_chg = _seg_cummax(chg_bit, seg, 2)
+    rev_chg = _seg_cummax(chg_bit[:, ::-1], rev_seg, 2)[:, ::-1]
+    comp_chg = jnp.maximum(fwd_chg, rev_chg) > 0
+
+    kept_sorted = valid & comp_chg & (area_sorted <= area_limit)
+
+    # quirky fill-left (identical to the stats variant)
+    encode = w + 1
+    run_in = jnp.where(sep & valid, sxs, 0)
+    incl_max = _seg_cummax(run_in, seg, encode)
+    prior = jnp.concatenate(
+        [jnp.zeros((b, 1), incl_max.dtype), incl_max[:, :-1]], axis=1
+    )
+    prior = jnp.where(starts, 0, prior)
+    include = sep & valid & (sxs <= prior)
+    contrib = jnp.where(include, sxs, w)
+    rev_vals = (w - contrib)[:, ::-1]
+    qmin_rev = _seg_cummax(rev_vals, rev_seg, encode)
+    qleft_sorted = w - qmin_rev[:, ::-1]
+
+    # inclusive per-segment running max of x — its value at the segment
+    # END is the component's maxx (shared by both fill paths)
+    fwd_x = _seg_cummax(jnp.where(valid, sxs, 0), seg, encode)
+
+    u_sorted = (starts & kept_sorted).astype(jnp.int32)
+    if _until == "scans":
+        return u_sorted
+
+    def fill(u, tt, bb, ll, rr):
+        diff = jnp.zeros((h + 1, w + 1), jnp.int32)
+        diff = diff.at[tt, ll].add(u)
+        diff = diff.at[tt, rr].add(-u)
+        diff = diff.at[bb, ll].add(-u)
+        diff = diff.at[bb, rr].add(u)
+        return jnp.cumsum(jnp.cumsum(diff, axis=0), axis=1)[:h, :w] > 0
+
+    def fill_roots(args):
+        u_s, ql_s = args
+        root_key = jnp.where(u_s > 0, idx, big)
+        ridx = jax.lax.sort((root_key,), num_keys=1)[0][
+            :, : min(_ROOT_CAP, big)
+        ]
+        vals = (ridx < big).astype(jnp.int32)
+        ridx = jnp.clip(ridx, 0, big - 1)
+        g = lambda a: jnp.take_along_axis(a, ridx, axis=1)
+        end_idx = jnp.clip(g(next_start) - 1, 0, big - 1)
+        ge = lambda a: jnp.take_along_axis(a, end_idx, axis=1)
+        # top = label // W (min pixel's row); bottom/right from the
+        # segment end — inclusive bounds used as exclusive, the
+        # reference's fde.hpp:122-146 quirk (as in _masks_from_stats)
+        tt = jnp.clip(g(sl) // w, 0, h)
+        bb = jnp.clip(ge(spos) // w, 0, h)
+        rr = jnp.clip(ge(fwd_x), 0, w)
+        ll = jnp.clip(jnp.minimum(g(ql_s), rr), 0, w)
+        return jax.vmap(fill)(vals, tt, bb, ll, rr)
+
+    def fill_dense(args):
+        # pathological root counts: the corner scatter is order-
+        # invariant, so fill straight from sorted order — per-element
+        # bbox totals are two more fwd+rev scan pairs, no unpermutes
+        u_s, ql_s = args
+        y_in = jnp.where(valid, spos // w, 0)
+        fwd_y = _seg_cummax(y_in, seg, h + 1)
+        rev_y = _seg_cummax(y_in[:, ::-1], rev_seg, h + 1)[:, ::-1]
+        bb = jnp.clip(jnp.maximum(fwd_y, rev_y), 0, h)
+        rev_x = _seg_cummax(
+            jnp.where(valid, sxs, 0)[:, ::-1], rev_seg, encode
+        )[:, ::-1]
+        rr = jnp.clip(jnp.maximum(fwd_x, rev_x), 0, w)
+        tt = jnp.clip(sl // w, 0, h)
+        ll = jnp.clip(jnp.minimum(ql_s, rr), 0, w)
+        return jax.vmap(fill)(u_s, tt, bb, ll, rr)
+
+    inside = jax.lax.cond(
+        jnp.any(u_sorted.sum(axis=1) > min(_ROOT_CAP, big)),
+        fill_dense,
+        fill_roots,
+        (u_sorted, qleft_sorted),
+    )
+    if _until == "fill":
+        return inside
+
+    unperm = jax.lax.sort(
+        ((spos << 1) | kept_sorted.astype(jnp.int32),), num_keys=1
+    )[0]
+    pix = (unperm & 1) > 0
+    if _until == "unperm":
+        return pix
+
+    return pix.reshape(b, h, w) | inside
+
+
 @functools.partial(
     jax.jit, static_argnames=("area_divisor", "compute_medians", "use_pallas")
 )
@@ -142,20 +328,27 @@ def extract_batch(
     if use_pallas:
         from remap_tpu.ops.pallas import cc as pcc
 
-        if pcc.supports_stats(h, w):
+        if pcc.supports_stats(h, w) and h * w * (w + 1) < (1 << 31):
+            # small screens (NES class): bbox/changed propagate in the
+            # CC kernel itself; the sort-based assembly reads them
             labels, stats = pcc.label_stats_batch(medians, changed)
-            masks_fn = (
-                _masks_from_stats_sorted
-                if h * w * (w + 1) < (1 << 31)
-                else _masks_from_stats
+            return _masks_from_stats_sorted(labels, stats, limit).astype(
+                jnp.uint8
             )
-            return masks_fn(labels, stats, limit).astype(jnp.uint8)
         if pcc.supports(h, w):
             labels = pcc.label_components_batch(medians)
         else:
             # >VGA screens: row-banded kernel + boundary union (bit-exact
             # at any frame size; 213 -> 54 ms/frame at 1920x1080)
             labels = pcc.label_components_banded(medians)
+        if h * w * (max(h, w) + 1) < (1 << 31):
+            # past the stats kernel's scoped-VMEM ceiling (~79k padded
+            # px: 272x372 gameplay screens, VGA, 1080p) the labels-only
+            # sorted assembly derives area/bbox/changed from the sort
+            # it already pays — no kernel ceiling, same bit-exactness
+            return _masks_from_labels_sorted(labels, changed, limit).astype(
+                jnp.uint8
+            )
     else:
         labels = jax.vmap(cc.label_components)(medians)
 

@@ -381,7 +381,12 @@ def label_components_banded(
 # VMEM working sets in lane-padded plane elements: the label-only kernel
 # holds ~8 int32 planes + scan temporaries, the stats variant ~16
 _CC_CAP = 250_000
-_CC_STATS_CAP = 140_000
+# the stats variant carries bbox/changed fixpoint planes: measured
+# scoped-VMEM 18.88 MB at 104,448 padded px (272x372 — the compile
+# helper rejects it at the 16 MB limit), i.e. ~181 B/padded px ->
+# 16 MB admits ~88.5k; capped with the house 10% headroom.  Screens
+# beyond take the labels-only kernels + fde._masks_from_labels_sorted.
+_CC_STATS_CAP = 79_000
 
 
 def _padded(h: int, w: int) -> int:

@@ -240,6 +240,69 @@ def test_masks_from_stats_sorted_twokey_equals_original():
     np.testing.assert_array_equal(old, new)
 
 
+def test_masks_from_labels_sorted_equals_original():
+    """The labels-only sorted assembly (no stats kernel: bbox/changed
+    derived from the sort itself) must equal the scatter original —
+    small shapes, the >=2^16 two-key path, and random non-tile noise."""
+    import jax
+    import jax.numpy as jnp
+
+    from remap_tpu.ops import cc as cc_ops
+    from remap_tpu.ops import fde as fde_ops
+
+    rng = np.random.default_rng(77)
+    cases = [(24, 31, 3, 4), (17, 16, 2, 4), (40, 60, 5, 4),
+             (264, 264, 24, 2)]
+    for h, w, tiles, nb in cases:
+        meds = []
+        for _ in range(nb):
+            base = rng.integers(0, 4, size=(h // tiles + 1, w // tiles + 1))
+            m = np.kron(base, np.ones((tiles, tiles)))[:h, :w]
+            noise = rng.random((h, w)) < 0.12
+            m = np.where(noise, rng.integers(0, 4, size=(h, w)), m)
+            meds.append(m.astype(np.uint8))
+        meds = np.stack(meds)
+        labels = np.asarray(
+            jax.vmap(cc_ops.label_components)(jnp.asarray(meds))
+        )
+        changed = rng.random((nb, h, w)) < 0.3
+        stats = _stats_from_labels(labels, changed)
+        limit = (h * w) // 5
+        old = np.asarray(fde_ops._masks_from_stats(
+            jnp.asarray(labels), jnp.asarray(stats), limit
+        ))
+        new = np.asarray(fde_ops._masks_from_labels_sorted(
+            jnp.asarray(labels), jnp.asarray(changed), limit
+        ))
+        np.testing.assert_array_equal(old, new, err_msg=f"{h}x{w}")
+
+
+def test_masks_from_labels_sorted_dense_fallback(monkeypatch):
+    """Root counts past the compaction cap: the labels-only dense fill
+    (sorted-order scans, no unpermutes) equals the scatter original."""
+    import jax
+    import jax.numpy as jnp
+
+    from remap_tpu.ops import cc as cc_ops
+    from remap_tpu.ops import fde as fde_ops
+
+    rng = np.random.default_rng(13)
+    meds = rng.integers(0, 8, size=(2, 20, 25), dtype=np.uint8)
+    labels = np.asarray(
+        jax.vmap(cc_ops.label_components)(jnp.asarray(meds))
+    )
+    changed = np.ones((2, 20, 25), bool)
+    stats = _stats_from_labels(labels, changed)
+    old = np.asarray(fde_ops._masks_from_stats(
+        jnp.asarray(labels), jnp.asarray(stats), 500
+    ))
+    monkeypatch.setattr(fde_ops, "_ROOT_CAP", 4)
+    new = np.asarray(fde_ops._masks_from_labels_sorted(
+        jnp.asarray(labels), jnp.asarray(changed), 500
+    ))
+    np.testing.assert_array_equal(old, new)
+
+
 def test_masks_from_stats_sorted_dense_fallback(monkeypatch):
     """Root counts past the compaction cap take the dense fill — equal."""
     import jax
