@@ -261,12 +261,48 @@ def filter_fragment_dispatch(
     return select(dots, heat, dev, threshold)
 
 
+@functools.partial(jax.jit, static_argnames=("size",))
+def _gather_windows(dots: jax.Array, ys: jax.Array, xs: jax.Array,
+                    size: int) -> jax.Array:
+    """[K, size-1, size, 16] blur windows at interior pixels (ys, xs) —
+    rows dy in [-margin, margin) (the truncated bottom row, see
+    spec.arf.rare_picks), cols dx in [-margin, margin]."""
+    margin = size // 2
+
+    def one(y, x):
+        return jax.lax.dynamic_slice(
+            dots,
+            (y - margin, x - margin, 0),
+            (size - 1, size, dots.shape[2]),
+        )
+
+    return jax.vmap(one)(ys, xs)
+
+
 def filter_fragment_finalize(dots, res, dev: float = 2.0) -> np.ndarray:
-    """The host half: fetch + exact re-selection of flagged pixels."""
+    """The host half: fetch + exact re-selection of flagged pixels.
+
+    Only the flagged pixels' blur windows cross the link: a session
+    -scale dot atlas is ~0.5 GB (4100^2 x 16 u16) and the old
+    full-canvas `np.asarray(dots)` paid ~10 s over this harness's
+    tunnel for a handful of knife-edge pixels; windows are ~5 KB each.
+    K is padded to a power-of-two bucket so repeat flag counts reuse
+    one compiled gather."""
     out = np.asarray(res.image)
     unstable = np.asarray(res.unstable)
     if unstable.any():
+        from remap_tpu.spec import arf as spec_arf
+
         ys, xs = np.nonzero(unstable)
+        kernel = spec_arf.gauss_kernel(dev)
+        size = int(kernel.shape[0])
+        k = len(ys)
+        cap = max(64, 1 << (k - 1).bit_length())
+        ys_p = np.concatenate([ys, np.full(cap - k, ys[0])]).astype(np.int32)
+        xs_p = np.concatenate([xs, np.full(cap - k, xs[0])]).astype(np.int32)
+        win = np.asarray(_gather_windows(
+            dots, jnp.asarray(ys_p), jnp.asarray(xs_p), size
+        ))[:k]
         out = out.copy()
-        out[ys, xs] = canonical_rare_picks(np.asarray(dots), ys, xs, dev)
+        out[ys, xs] = spec_arf.rare_picks_from_windows(win, dev)
     return out

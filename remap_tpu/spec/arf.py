@@ -142,12 +142,29 @@ def rare_picks(
     dx = np.arange(-margin, margin + 1)
     wy = (ys[:, None] + dy)[:, :, None]
     wx = (xs[:, None] + dx)[:, None, :]
-    win = dots[wy, wx].astype(np.float32)    # [K, S-1, S, 16]
-    present = dots[ys, xs] > 0               # [K, 16]
-    temp = np.zeros((len(ys), 16), np.float32)
+    win = dots[wy, wx]                       # [K, S-1, S, 16]
+    return rare_picks_from_windows(win, dev)
+
+
+def rare_picks_from_windows(win: np.ndarray, dev: float) -> np.ndarray:
+    """:func:`rare_picks` on pre-gathered [K, S-1, S, 16] dot windows
+    (rows dy in [-margin, margin), cols dx in [-margin, margin]) — the
+    window slicing is the only part that needs the full canvas, so the
+    device path gathers windows at the flagged pixels instead of
+    downloading the whole dot atlas (ops.arf.filter_fragment_finalize).
+    Arithmetic identical to :func:`rare_picks` (the reference binary's
+    f32 order)."""
+    kernel = gauss_kernel(dev)
+    size = kernel.shape[0]
+    margin = size // 2
+    assert win.shape[1:3] == (size - 1, size), win.shape
+    center = win[:, margin, margin, :]       # dy=0, dx=0
+    present = center > 0                     # [K, 16]
+    winf = win.astype(np.float32)
+    temp = np.zeros((win.shape[0], 16), np.float32)
     for r in range(size - 1):
         for c in range(size):
-            temp += win[:, r, c, :] * kernel[r, c]
+            temp += winf[:, r, c, :] * kernel[r, c]
     temp = np.where(present, temp, np.float32(0.0))
     return temp.argmax(axis=1).astype(np.uint8)
 

@@ -326,3 +326,50 @@ def test_masks_from_stats_sorted_dense_fallback(monkeypatch):
         jnp.asarray(labels), jnp.asarray(stats), 500
     ))
     np.testing.assert_array_equal(old, new)
+
+
+def test_arf_finalize_window_gather_equals_full_canvas():
+    """filter_fragment_finalize re-selects flagged pixels from device
+    -gathered blur windows; must equal the old full-canvas download
+    path (spec.arf.rare_picks on the whole dot atlas) bit-for-bit."""
+    import jax.numpy as jnp
+
+    from remap_tpu.ops import arf as jarf
+    from remap_tpu.spec import arf as sarf
+
+    rng = np.random.default_rng(3)
+    h, w = 60, 72
+    dots = rng.integers(0, 50, size=(h, w, 16)).astype(np.uint16)
+    image = rng.integers(0, 16, size=(h, w)).astype(np.uint8)
+    margin = sarf.gauss_kernel(2.0).shape[0] // 2
+    unstable = np.zeros((h, w), bool)
+    ys = rng.integers(margin, h - margin, 9)
+    xs = rng.integers(margin, w - margin - 1, 9)
+    unstable[ys, xs] = True
+    res = jarf.SelectResult(
+        image=jnp.asarray(image), unstable=jnp.asarray(unstable)
+    )
+
+    new = jarf.filter_fragment_finalize(jnp.asarray(dots), res, 2.0)
+
+    old = image.copy()
+    fy, fx = np.nonzero(unstable)
+    old[fy, fx] = sarf.rare_picks(dots, fy, fx, 2.0)
+    np.testing.assert_array_equal(old, new)
+
+
+def test_arf_finalize_no_flags_is_passthrough():
+    import jax.numpy as jnp
+
+    from remap_tpu.ops import arf as jarf
+
+    rng = np.random.default_rng(4)
+    image = rng.integers(0, 16, size=(20, 30)).astype(np.uint8)
+    res = jarf.SelectResult(
+        image=jnp.asarray(image),
+        unstable=jnp.asarray(np.zeros((20, 30), bool)),
+    )
+    dots = jnp.asarray(np.zeros((20, 30, 16), np.uint16))
+    np.testing.assert_array_equal(
+        image, jarf.filter_fragment_finalize(dots, res, 2.0)
+    )
