@@ -380,12 +380,16 @@ def label_components_banded(
 
 # VMEM working sets in lane-padded plane elements: the label-only kernel
 # holds ~8 int32 planes + scan temporaries, the stats variant ~16
-_CC_CAP = 250_000
-# the stats variant carries bbox/changed fixpoint planes: measured
-# scoped-VMEM 18.88 MB at 104,448 padded px (272x372 — the compile
-# helper rejects it at the 16 MB limit), i.e. ~181 B/padded px ->
-# 16 MB admits ~88.5k; capped with the house 10% headroom.  Screens
-# beyond take the labels-only kernels + fde._masks_from_labels_sorted.
+# scoped-VMEM calibration (both caps): the whole-plane kernels hold
+# the label fixpoint's temporaries in VMEM, measured at 272x372
+# (104,448 padded px) against the 16 MB scoped limit —
+#   labels-only: 17.39 MB (~166 B/padded px) -> admits ~96k
+#   with stats:  18.88 MB (~181 B/padded px) -> admits ~88.5k
+# capped with the house 10% headroom.  Screens beyond take the
+# row-banded labeler (any size) + fde._masks_from_labels_sorted.
+# (The old 250k/140k caps were never compile-tested near their
+# limits; the compile helper rejects both at 272x372.)
+_CC_CAP = 86_000
 _CC_STATS_CAP = 79_000
 
 
