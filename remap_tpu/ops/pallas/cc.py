@@ -325,11 +325,17 @@ def _merge_band_labels(labels, images, bh: int, true_h: int):
 # Scoped-VMEM budget per band: the unrolled Hillis-Steele doubling steps
 # keep ~40 int32 planes live (measured: 25.2M scoped for a 164k-element
 # band), so cap bands at ~90k elements to stay under the 16M limit.
-_BAND_ELEMS = 90_000
+# largest PADDED band the 16 MB scoped-VMEM budget provably holds:
+# 40 x 1920 (the measured 1080p configuration; the band kernel costs
+# ~188 B/padded px, so 76,800 px ~ 14.4 MB).  The old 90k UNPADDED
+# budget let 372-wide screens pick 240-row bands (92,160 padded px =
+# 17.36 MB) that the compile helper rejects.
+_BAND_ELEMS = 76_800
 
 
 def default_band_rows(w: int) -> int:
-    return max(8, (_BAND_ELEMS // max(w, 1)) // 8 * 8)
+    wp = -(-w // 128) * 128
+    return max(8, (_BAND_ELEMS // wp) // 8 * 8)
 
 
 @functools.partial(jax.jit, static_argnames=("band_rows",))
@@ -378,8 +384,6 @@ def label_components_banded(
     return out[:, :h]
 
 
-# VMEM working sets in lane-padded plane elements: the label-only kernel
-# holds ~8 int32 planes + scan temporaries, the stats variant ~16
 # scoped-VMEM calibration (both caps): the whole-plane kernels hold
 # the label fixpoint's temporaries in VMEM, measured at 272x372
 # (104,448 padded px) against the 16 MB scoped limit —
