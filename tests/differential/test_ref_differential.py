@@ -61,7 +61,11 @@ def _images(rng, n, h, w):
 
 # ---------------------------------------------------------------- nic --
 
-@pytest.mark.parametrize("hw", [(17, 23), (31, 64), (64, 37)])
+@pytest.mark.parametrize("hw", [
+    (17, 23),
+    pytest.param((31, 64), marks=pytest.mark.diffquick),
+    (64, 37),
+])
 def test_nic_bytes_exact(driver, hw):
     h, w = hw
     rng = np.random.default_rng(h * 100 + w)
@@ -135,7 +139,9 @@ def _quirky_left(mask):
     return lower
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("seed", [
+    pytest.param(0, marks=pytest.mark.diffquick), 1, 2, 3,
+])
 def test_cte_contours_match_spec(driver, seed):
     rng = np.random.default_rng(seed)
     h, w = 40, 56
@@ -176,7 +182,9 @@ def test_cte_predicate_gates_seeds(driver):
 
 # ---------------------------------------------------------------- fgm --
 
-@pytest.mark.parametrize("seed", [10, 11])
+@pytest.mark.parametrize("seed", [
+    pytest.param(10, marks=pytest.mark.diffquick), 11,
+])
 def test_fgm_blit_growth_blend(driver, seed):
     rng = np.random.default_rng(seed)
     h, w = 24, 32
@@ -296,7 +304,8 @@ def _run_kpm(driver, prev_e, curr_e):
 
 
 @pytest.mark.parametrize("seed,offset", [
-    (1, (3, -2)), (2, (0, 0)), (3, (-17, 9)), (4, (120, -80)),
+    pytest.param(1, (3, -2), marks=pytest.mark.diffquick),
+    (2, (0, 0)), (3, (-17, 9)), (4, (120, -80)),
 ])
 def test_kpm_match_agrees(driver, seed, offset):
     """The compiled reference's kpm::match and the spec agree on clean
@@ -418,7 +427,8 @@ def _run_fgs(driver, prev_region, prev_mask, curr_region, curr_mask):
 
 
 @pytest.mark.parametrize("seed,crop_b", [
-    (5, (40, 150, 35, 200)), (6, (20, 120, 15, 170)),
+    pytest.param(5, (40, 150, 35, 200), marks=pytest.mark.diffquick),
+    (6, (20, 120, 15, 170)),
 ])
 def test_fgs_cellular_match_agrees(driver, seed, crop_b):
     """The compiled cellular matcher (kpm.hpp:371-393) agrees with the

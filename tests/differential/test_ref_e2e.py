@@ -203,7 +203,9 @@ def _assert_maps_equal(ref_maps, our_maps, clip_name):
     "name,make_clip,expected_maps",
     [
         ("clipA", _clip_a, 1),
-        ("clipB", _clip_b, 1),
+        # clipB is the diffquick representative: sprites + teleport force
+        # multi-fragment collect, splice and the foreground pass in one clip
+        pytest.param("clipB", _clip_b, 1, marks=pytest.mark.diffquick),
         ("clipC", _clip_c, 3),
         ("clipD", _clip_d, 1),
     ],

@@ -89,6 +89,7 @@ def _world_truth_agreement(our_maps, session) -> Tuple[float, float]:
     return best
 
 
+@pytest.mark.diffquick
 def test_ref_gameplay_session(ref_binary, tmp_path):
     session = gameplay.play_session(
         seed=3, n_frames=220, frame_hw=(FH, FW)

@@ -42,6 +42,7 @@ def _load(path, dtype):
     return flat.reshape(int(h), int(w))
 
 
+@pytest.mark.diffquick
 def test_ref_stage_dumps_pixel_exact(ref_binary, tmp_path):
     rng = np.random.default_rng(4242)
     world = testing.make_world(800, 1200, rng=rng)

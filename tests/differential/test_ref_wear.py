@@ -44,6 +44,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+@pytest.mark.diffquick
 def test_ref_wear_combined_platformer(ref_binary, tmp_path):
     """The full wear model over the pinned platformer session: tears,
     specks, lag duplicates and drops together.  Byte-equal maps, and
