@@ -223,7 +223,7 @@ def _run_case(ref_binary, tmp_path, frames, summary, tag):
     _assert_maps_equal(ref_maps, our_maps, summary)
 
 
-def _mark_quick_first(seeds):
+def _mark_diffquick_first(seeds):
     """The first seed doubles as the family's ``diffquick`` representative."""
     return [
         pytest.param(s, marks=pytest.mark.diffquick) if i == 0 else s
@@ -231,7 +231,7 @@ def _mark_quick_first(seeds):
     ]
 
 
-@pytest.mark.parametrize("seed", _mark_quick_first(_seeds()))
+@pytest.mark.parametrize("seed", _mark_diffquick_first(_seeds()))
 def test_ref_fuzz_pixel_exact(ref_binary, tmp_path, seed):
     frames, summary = make_fuzz_clip(seed)
     _run_case(ref_binary, tmp_path, frames, summary, f"fuzz{seed}")
