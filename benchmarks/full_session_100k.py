@@ -218,6 +218,13 @@ def main() -> None:
         def on_clean(self, images):
             self._mark("arf")
 
+        def on_checkpoint(self, tag, seconds):
+            # attribute the save to checkpointing, not the next stage
+            # (a 100k store compression used to hide inside "fgs"/"arf")
+            walls[f"ckpt-{tag}"] = round(seconds, 1)
+            self.t0 = time.perf_counter()
+            print(f"[ckpt-{tag}] {seconds:8.1f} s", flush=True)
+
     cb = TimedCallbacks()
     t_start = time.perf_counter()
     result = builder.build(frames, cfg, callbacks=cb,

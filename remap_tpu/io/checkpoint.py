@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import zipfile
 from typing import List
 
 import numpy as np
@@ -18,12 +19,44 @@ import numpy as np
 from remap_tpu.pipeline.state import Fragment, FrameRef, FrameStore
 
 
-def save(directory: str, tag: str, fragments: List[Fragment]) -> None:
+def _savez_fast(path: str, **arrays) -> None:
+    """npz-compatible writer at deflate level 1.
+
+    ``np.savez_compressed`` pins zlib's default level (6): a 100k-frame
+    session store (~7 GB of packed nibbles + medians) took 150-250 s to
+    compress on this harness's single core — which silently dominated
+    the "fgs"/"arf" stage walls of the 100k contract (the saves sit
+    between the stage callbacks).  Level 1 deflates the same payload
+    ~3-4x faster within a few percent of the ratio; ``np.load`` reads
+    any deflate level, so the on-disk format is unchanged."""
+    with zipfile.ZipFile(
+        path, "w", compression=zipfile.ZIP_DEFLATED, compresslevel=1,
+        allowZip64=True,
+    ) as zf:
+        for name, arr in arrays.items():
+            with zf.open(name + ".npy", "w", force_zip64=True) as f:
+                np.lib.format.write_array(
+                    f, np.ascontiguousarray(arr), allow_pickle=False
+                )
+
+
+def save(
+    directory: str,
+    tag: str,
+    fragments: List[Fragment],
+    include_store: bool = True,
+) -> None:
+    """``include_store=False`` skips the frame-store payload: a resume
+    from this tag then reconstructs fragments with ``store=None``.  The
+    builder uses it for the ``filtered`` checkpoint — the only stage
+    past it (arf clean) reads nothing but the dot canvases, and the
+    store is a multi-GB second compression of bytes the ``collect``
+    checkpoint already holds."""
     root = os.path.join(directory, tag)
     os.makedirs(root, exist_ok=True)
     meta = {"count": len(fragments)}
     store = fragments[0].store if fragments else None
-    if store is not None:
+    if store is not None and include_store:
         meta["height"] = store.height
         meta["width"] = store.width
         payload = dict(
@@ -36,11 +69,11 @@ def save(directory: str, tag: str, fragments: List[Fragment]) -> None:
             payload["medians"] = np.stack(
                 [store._medians[k] for k in sorted(store._medians.keys())]
             )
-        np.savez_compressed(os.path.join(root, "store.npz"), **payload)
+        _savez_fast(os.path.join(root, "store.npz"), **payload)
     with open(os.path.join(root, "meta.json"), "w") as f:
         json.dump(meta, f)
     for i, frag in enumerate(fragments):
-        np.savez_compressed(
+        _savez_fast(
             os.path.join(root, f"fragment{i}.npz"),
             dots=frag.dots,
             zero=np.array(frag.zero, np.int64),

@@ -42,6 +42,13 @@ class Callbacks:
 
     def on_clean(self, images: List[np.ndarray]) -> None: ...
 
+    def on_checkpoint(self, tag: str, seconds: float) -> None:
+        """After a stage checkpoint is written (tag = "collect" or
+        "filtered").  Lets wall-clock observers attribute the save time
+        to checkpointing instead of the following stage — a 100k-frame
+        store compression is minutes, not noise."""
+        ...
+
 
 class PerfCallbacks(Callbacks):
     """Per-stage wall-clock fps, in the spirit of the reference's
@@ -82,6 +89,24 @@ class BuildResult:
     window: Optional[WindowInfo]
     fragments: List[Fragment]
     collect: Optional[collect_stage.CollectResult]
+
+
+def _save_checkpoint(
+    cb: Callbacks,
+    checkpoint_dir: Optional[str],
+    tag: str,
+    fragments: List[Fragment],
+    include_store: bool = True,
+) -> None:
+    if not checkpoint_dir:
+        return
+    import time
+
+    from remap_tpu.io import checkpoint
+
+    t0 = time.perf_counter()
+    checkpoint.save(checkpoint_dir, tag, fragments, include_store)
+    cb.on_checkpoint(tag, time.perf_counter() - t0)
 
 
 def _checkpoint_stage(checkpoint_dir: str) -> Optional[str]:
@@ -130,7 +155,10 @@ def build(
             cb.on_splice(spliced)
             filtered = fg_stage.filter_fragments(spliced, cfg)
             cb.on_filter(filtered)
-            checkpoint.save(checkpoint_dir, "filtered", filtered)
+            _save_checkpoint(
+                cb, checkpoint_dir, "filtered", filtered,
+                include_store=False,
+            )
             maps = clean_stage.clean(filtered, cfg)
             cb.on_clean(maps)
             return BuildResult(
@@ -170,20 +198,20 @@ def build(
 
     col = collect_stage.collect(source, cfg)
     cb.on_collect(col)
-    if checkpoint_dir:
-        from remap_tpu.io import checkpoint
-
-        checkpoint.save(checkpoint_dir, "collect", col.fragments)
+    _save_checkpoint(cb, checkpoint_dir, "collect", col.fragments)
 
     spliced = splice_stage.splice(col.fragments, cfg)
     cb.on_splice(spliced)
 
     filtered = fg_stage.filter_fragments(spliced, cfg)
     cb.on_filter(filtered)
-    if checkpoint_dir:
-        from remap_tpu.io import checkpoint
-
-        checkpoint.save(checkpoint_dir, "filtered", filtered)
+    # the store is not re-saved: arf (the only stage past this point)
+    # reads nothing but the dot canvases, and the collect checkpoint
+    # already holds the frames — re-compressing the multi-GB store here
+    # used to hide minutes inside the "arf" stage wall
+    _save_checkpoint(
+        cb, checkpoint_dir, "filtered", filtered, include_store=False
+    )
 
     maps = clean_stage.clean(filtered, cfg)
     cb.on_clean(maps)

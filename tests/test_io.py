@@ -143,6 +143,19 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(a.store.image(2), b.store.image(2))
         np.testing.assert_array_equal(a.store.median(3), b.store.median(3))
 
+    # the "filtered" tag skips the store (arf reads only dot canvases);
+    # resume then reconstructs fragments with store=None
+    checkpoint.save(
+        str(tmp_path), "filtered", res.fragments, include_store=False
+    )
+    import os
+
+    assert not os.path.exists(tmp_path / "filtered" / "store.npz")
+    loaded2 = checkpoint.load(str(tmp_path), "filtered")
+    assert all(f.store is None for f in loaded2)
+    for a, b in zip(loaded2, res.fragments):
+        np.testing.assert_array_equal(a.dots, b.dots)
+
 
 def test_indexed_png_fast_path(tmp_path):
     """Palette-indexed PNGs map codes through the palette LUT exactly —
