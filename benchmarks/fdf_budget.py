@@ -350,6 +350,31 @@ def main() -> None:
         "unit": "frames/sec/chip (fdf device compute only)",
     }), flush=True)
 
+    # ---- poisoned regime: production tiles with ONE iid-noise frame.
+    # The per-frame escalation (fde._escalated_fill tier 2) must keep
+    # this within ~1.2x the clean tiles wall — one adversarial frame
+    # rides the static dense subset while the rest of the batch stays
+    # on the compacted path (round-4 verdict weak #3).
+    p_imgs = t_imgs.at[0].set(jnp.asarray(frames[0]))
+    pwalls = {
+        "extract_batch total": timed(
+            "[poisoned] fde.extract_batch (fused total)", ex_fn,
+            args.chain, t_background, p_imgs, apos,
+        )
+    }
+    p_fused = walls["unpack+gather"] + pwalls["extract_batch total"] + \
+        walls["masked blit"]
+    print(json.dumps({
+        "metric": "fdf per-batch device budget (compute floor)",
+        "regime": "tiles + 1 poisoned frame (per-frame escalation)",
+        "batch": B,
+        "component_ms": {k: round(v, 2) for k, v in pwalls.items()},
+        "pipeline_path_ms": round(p_fused, 2),
+        "vs_clean_tiles": round(p_fused / t_fused, 3),
+        "value": round(B / (p_fused / 1000), 1),
+        "unit": "frames/sec/chip (fdf device compute only)",
+    }), flush=True)
+
 
 if __name__ == "__main__":
     main()

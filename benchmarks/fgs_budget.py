@@ -54,6 +54,10 @@ def make_session_fragments(n: int, bands: int, rng):
     tile = 16
     base = rng.integers(1, 16, size=(n // tile + 1, n // tile + 1))
     world = np.kron(base, np.ones((tile, tile), int))[:n, :n]
+    # 10% detail pixels (as in bench.make_clip): flat tile interiors
+    # yield ZERO keypoints from the dense extract — real worlds don't
+    detail = rng.integers(1, 16, size=(n, n))
+    world = np.where(rng.random((n, n)) < 0.10, detail, world)
     counts = rng.integers(20, 60, size=(n, n)).astype(np.uint16)
 
     overlap = 384

@@ -27,6 +27,59 @@ from remap_tpu.ops import cc
 #: max kept-component roots per frame for the compacted bbox fill
 _ROOT_CAP = 1024
 
+#: static size of the per-frame dense-escalation subset: when at most
+#: this many frames of a batch exceed _ROOT_CAP kept roots, only THOSE
+#: frames are gathered into a fixed-shape dense fill — the rest of the
+#: batch stays on the compacted-roots fast path
+_DENSE_FRAMES = 8
+
+
+def _escalated_fill(u, args, fill_roots, dense_rows, big):
+    """Three-tier escalation of the bbox fill (fdf.hpp:40-75 semantics
+    unchanged, only the execution route):
+
+    1. no frame exceeds ``_ROOT_CAP`` kept roots -> compacted fill;
+    2. at most ``_DENSE_FRAMES`` frames exceed it -> the compacted fill
+       stands for everyone else and only the poisoned frames re-fill
+       densely (gathered into a static subset, results scattered back)
+       — one adversarial frame no longer drags its whole batch onto
+       the ~6x slower dense path (round-4 verdict weak #3);
+    3. more than ``_DENSE_FRAMES`` -> whole-batch dense fill.
+
+    ``u`` is the [B, big] kept-root indicator; ``args`` the operand
+    tuple fed to ``fill_roots(args)`` and, frame-row-subset, to
+    ``dense_rows(args_rows, rows)`` (rows = static-length frame-index
+    vector for gathering any closed-over per-frame arrays).
+    """
+    b = u.shape[0]
+    cap = min(_ROOT_CAP, big)
+    over = u.sum(axis=1) > cap
+    n_over = over.sum()
+    inside_roots = fill_roots(args)
+    p = min(_DENSE_FRAMES, b)
+
+    def subset(a):
+        fidx = jnp.where(over, jnp.arange(b, dtype=jnp.int32), b)
+        fsel = jax.lax.sort((fidx,), num_keys=1)[0][:p]
+        rows = jnp.clip(fsel, 0, b - 1)
+        inside_p = dense_rows(tuple(x[rows] for x in a), rows)
+        # unused slots keep fsel == b: out-of-bounds scatter rows drop
+        return inside_roots.at[fsel].set(inside_p)
+
+    def full(a):
+        return dense_rows(a, jnp.arange(b, dtype=jnp.int32))
+
+    if p == 0:  # subset tier disabled (static): two tiers only
+        return jax.lax.cond(
+            n_over == 0, lambda a: inside_roots, full, args
+        )
+    return jax.lax.cond(
+        n_over == 0,
+        lambda a: inside_roots,
+        lambda a: jax.lax.cond(n_over <= p, subset, full, a),
+        args,
+    )
+
 
 def equality_mask(
     background: jax.Array,  # [HB, WB] uint8
@@ -256,28 +309,30 @@ def _masks_from_labels_sorted(
         ll = jnp.clip(jnp.minimum(g(ql_s), rr), 0, w)
         return jax.vmap(fill)(vals, tt, bb, ll, rr)
 
-    def fill_dense(args):
+    def dense_rows(u_s, ql_s, valid_, spos_, sxs_, sl_, seg_, rev_seg_,
+                   fwd_x_):
         # pathological root counts: the corner scatter is order-
         # invariant, so fill straight from sorted order — per-element
         # bbox totals are two more fwd+rev scan pairs, no unpermutes
-        u_s, ql_s = args
-        y_in = jnp.where(valid, spos // w, 0)
-        fwd_y = _seg_cummax(y_in, seg, h + 1)
-        rev_y = _seg_cummax(y_in[:, ::-1], rev_seg, h + 1)[:, ::-1]
+        y_in = jnp.where(valid_, spos_ // w, 0)
+        fwd_y = _seg_cummax(y_in, seg_, h + 1)
+        rev_y = _seg_cummax(y_in[:, ::-1], rev_seg_, h + 1)[:, ::-1]
         bb = jnp.clip(jnp.maximum(fwd_y, rev_y), 0, h)
         rev_x = _seg_cummax(
-            jnp.where(valid, sxs, 0)[:, ::-1], rev_seg, encode
+            jnp.where(valid_, sxs_, 0)[:, ::-1], rev_seg_, encode
         )[:, ::-1]
-        rr = jnp.clip(jnp.maximum(fwd_x, rev_x), 0, w)
-        tt = jnp.clip(sl // w, 0, h)
+        rr = jnp.clip(jnp.maximum(fwd_x_, rev_x), 0, w)
+        tt = jnp.clip(sl_ // w, 0, h)
         ll = jnp.clip(jnp.minimum(ql_s, rr), 0, w)
         return jax.vmap(fill)(u_s, tt, bb, ll, rr)
 
-    inside = jax.lax.cond(
-        jnp.any(u_sorted.sum(axis=1) > min(_ROOT_CAP, big)),
-        fill_dense,
-        fill_roots,
-        (u_sorted, qleft_sorted),
+    inside = _escalated_fill(
+        u_sorted, (u_sorted, qleft_sorted), fill_roots,
+        lambda a, rows: dense_rows(
+            a[0], a[1], valid[rows], spos[rows], sxs[rows], sl[rows],
+            seg[rows], rev_seg[rows], fwd_x[rows],
+        ),
+        big,
     )
     if _until == "fill":
         return inside
@@ -437,12 +492,11 @@ def _masks_from_stats(
         return jax.vmap(fill)(vals, g(tt), g(bb), g(ll), g(rr))
 
     args = (upd, t, b_, l_, r_)
-    # exactness guard: if any frame has more roots than the compaction
-    # cap (pathological inputs), the full-size scatter runs instead —
-    # a runtime branch, so the common case never pays for it
-    inside = jax.lax.cond(
-        jnp.any(upd.sum(axis=1) > min(_ROOT_CAP, big)),
-        fill_exact, fill_topk, args,
+    # exactness guard: frames with more roots than the compaction cap
+    # escalate to the full-size scatter — per poisoned frame, not per
+    # batch (_escalated_fill), so the common case never pays for it
+    inside = _escalated_fill(
+        upd, args, fill_topk, lambda a, rows: fill_exact(a), big
     )
     return kept.reshape(b, h, w) | inside
 
@@ -611,29 +665,28 @@ def _masks_from_stats_sorted(
         ll = jnp.clip(jnp.minimum(g(ql_s), rr), 0, w)
         return jax.vmap(fill)(vals, tt, bb, ll, rr)
 
-    def fill_dense(args):
+    def dense_rows(u_s, ql_s, spos_, stats_):
         # pathological root counts (more than _ROOT_CAP kept components
         # in some frame — iid-noise content): uncompacted fill, with
         # the roots/qleft unpermuted back to pixel order by 1-op sorts
         # (spos is a permutation; value rides below the position key —
         # the same swap that replaced the kept-flags scatter)
-        u_s, ql_s = args
         upd = (
-            jax.lax.sort(((spos << 1) | u_s,), num_keys=1)[0] & 1
+            jax.lax.sort(((spos_ << 1) | u_s,), num_keys=1)[0] & 1
         )
-        qlp_key = spos * (w + 1) + jnp.clip(ql_s, 0, w)
+        qlp_key = spos_ * (w + 1) + jnp.clip(ql_s, 0, w)
         qlp = jax.lax.sort((qlp_key,), num_keys=1)[0] % (w + 1)
-        tt = jnp.clip(stats[:, 1].reshape(b, -1), 0, h)
-        bb = jnp.clip(stats[:, 3].reshape(b, -1), 0, h)
-        rr = jnp.clip(stats[:, 2].reshape(b, -1), 0, w)
+        nb = stats_.shape[0]
+        tt = jnp.clip(stats_[:, 1].reshape(nb, -1), 0, h)
+        bb = jnp.clip(stats_[:, 3].reshape(nb, -1), 0, h)
+        rr = jnp.clip(stats_[:, 2].reshape(nb, -1), 0, w)
         ll = jnp.clip(jnp.minimum(qlp, rr), 0, w)
         return jax.vmap(fill)(upd, tt, bb, ll, rr)
 
-    inside = jax.lax.cond(
-        jnp.any(u_sorted.sum(axis=1) > min(_ROOT_CAP, big)),
-        fill_dense,
-        fill_roots,
-        (u_sorted, qleft_sorted),
+    inside = _escalated_fill(
+        u_sorted, (u_sorted, qleft_sorted), fill_roots,
+        lambda a, rows: dense_rows(a[0], a[1], spos[rows], stats[rows]),
+        big,
     )
     if _until == "fill":
         return inside

@@ -156,21 +156,20 @@ def _region_table_sort2(
 def resolve_table_mode(mode: str, context: str = "stream") -> str:
     """Resolve "auto" by context.
 
-    - ``"stream"`` (the device-resident serving loop): the two-level
-      chunk sort on TPU-like backends — fastest, and its quota-overflow
-      flag is part of the streaming contract (callers assert/escalate).
+    - ``"stream"`` (the device-resident serving loop): the Pallas VMEM
+      shift-network compaction on TPU-like backends (zero gathers,
+      exact at any chunk density — ops.pallas.tables), falling back to
+      the two-level chunk sort ("sort2") when the kernel's static gate
+      rejects the shape.
     - ``"exact"`` (the exact-canvas batch pipeline): flat top_k — exact
-      at any chunk density.  HUD/border content routinely packs solid
-      keypoint rows (>SORT2_QUOTA per 512-px chunk), and a density-based
-      flag cannot be cleared by capacity escalation, so sort2 there
-      would force a full retry on most real clips.
+      at any chunk density and any shape.
     """
     if mode != "auto":
         return mode
     if context == "exact":
         return "topk"
     return (
-        "sort2"
+        "pallas"
         if jax.devices()[0].platform in ("tpu", "axon")
         else "topk"
     )
@@ -187,6 +186,15 @@ def build_tables(
     """Extract all R region tables; regions stack on axis 1 in index order
     xs * grid_h + ys (kpr.hpp:68-91)."""
     mode = resolve_table_mode(mode, context)
+    if mode == "pallas":
+        from remap_tpu.ops.pallas import tables as ptables
+
+        h, w = weight.shape[1], weight.shape[2]
+        if ptables.supports(layout, h, w, capacity):
+            return ptables.build_tables_pallas(
+                weight, codes, layout, capacity
+            )
+        mode = "sort2"   # shape outside the kernel gate
     per_region = []
     for xs in range(layout.grid_w):
         for ys in range(layout.grid_h):

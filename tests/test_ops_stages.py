@@ -328,6 +328,53 @@ def test_masks_from_stats_sorted_dense_fallback(monkeypatch):
     np.testing.assert_array_equal(old, new)
 
 
+def test_masks_per_frame_escalation_mixed_batch(monkeypatch):
+    """One poisoned frame in a clean batch rides the static dense
+    subset (tier 2 of fde._escalated_fill) while the rest stay on the
+    compacted path; above _DENSE_FRAMES the whole batch goes dense
+    (tier 3).  All tiers equal the scatter original per frame."""
+    import jax
+    import jax.numpy as jnp
+
+    from remap_tpu.ops import cc as cc_ops
+    from remap_tpu.ops import fde as fde_ops
+
+    rng = np.random.default_rng(23)
+    # frames 0/2/3 nearly flat (few components); frame 1 iid noise
+    meds = np.zeros((4, 20, 25), np.uint8)
+    meds[0, 5:9, 3:8] = 1
+    meds[1] = rng.integers(0, 8, size=(20, 25))
+    meds[2, 2:4, 2:4] = 3
+    meds[3, 10, :] = 2
+    labels = np.asarray(
+        jax.vmap(cc_ops.label_components)(jnp.asarray(meds))
+    )
+    changed = np.ones((4, 20, 25), bool)
+    stats = _stats_from_labels(labels, changed)
+    old = np.asarray(fde_ops._masks_from_stats(
+        jnp.asarray(labels), jnp.asarray(stats), 500
+    ))
+    monkeypatch.setattr(fde_ops, "_ROOT_CAP", 16)
+    over = [
+        int((np.unique(labels[i][labels[i] < 20 * 25])).size) > 16
+        for i in range(4)
+    ]
+    assert over == [False, True, False, False], over
+
+    for variant in ("subset", "full"):
+        if variant == "full":
+            # force tier 3: subset capacity below the poisoned count
+            monkeypatch.setattr(fde_ops, "_DENSE_FRAMES", 0)
+        new_s = np.asarray(fde_ops._masks_from_stats_sorted(
+            jnp.asarray(labels), jnp.asarray(stats), 500
+        ))
+        np.testing.assert_array_equal(old, new_s, err_msg=variant)
+        new_l = np.asarray(fde_ops._masks_from_labels_sorted(
+            jnp.asarray(labels), jnp.asarray(changed), 500
+        ))
+        np.testing.assert_array_equal(old, new_l, err_msg=variant)
+
+
 def test_arf_finalize_window_gather_equals_full_canvas():
     """filter_fragment_finalize re-selects flagged pixels from device
     -gathered blur windows; must equal the old full-canvas download

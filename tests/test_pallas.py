@@ -20,6 +20,70 @@ def interpret_pallas(monkeypatch):
     )
 
 
+def test_tables_shift_kernel_matches_topk(interpret_pallas):
+    """The VMEM shift-network table build equals mode="topk" on valid
+    rows and mode="sort2"'s canonicalized invalid rows, across density
+    regimes incl. capacity overflow."""
+    from remap_tpu.core.regions import make_layout
+    from remap_tpu.ops import tables as xtables
+    from remap_tpu.ops.pallas import tables as ptables
+
+    rng = np.random.default_rng(5)
+    h, w = 60, 160
+    layout = make_layout(w, h, 2, 2, 8)
+    capacity = 128
+    assert ptables.supports(layout, h, w, capacity)
+
+    for density, bsz in [(0.05, 3), (0.35, 2), (0.95, 2)]:
+        weight = (rng.random((bsz, h, w)) < density).astype(np.uint8)
+        weight[weight > 0] = rng.integers(
+            1, 3, size=int((weight > 0).sum())
+        )
+        codes = rng.integers(
+            0, 1 << 32, size=(bsz, h, w, 4), dtype=np.uint32
+        )
+        ref = xtables.build_tables(
+            jnp.asarray(weight), jnp.asarray(codes), layout, capacity,
+            mode="topk",
+        )
+        out = ptables.build_tables_pallas(
+            jnp.asarray(weight), jnp.asarray(codes), layout, capacity
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.valid), np.asarray(ref.valid), err_msg=f"d={density}"
+        )
+        vm = np.asarray(ref.valid)
+        np.testing.assert_array_equal(
+            np.asarray(out.codes)[vm], np.asarray(ref.codes)[vm],
+            err_msg=f"d={density}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.pos)[vm], np.asarray(ref.pos)[vm],
+            err_msg=f"d={density}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.wcounts), np.asarray(ref.wcounts)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.overflow), np.asarray(ref.overflow)
+        )
+        # invalid-row canonicalization matches sort2 (code/pos of the
+        # region's first pixel) — full bitwise equality when sort2's
+        # chunk quota isn't tripped
+        if density <= 0.05:
+            ref2 = xtables.build_tables(
+                jnp.asarray(weight), jnp.asarray(codes), layout,
+                capacity, mode="sort2",
+            )
+            if not np.asarray(ref2.overflow).any():
+                np.testing.assert_array_equal(
+                    np.asarray(out.codes), np.asarray(ref2.codes)
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(out.pos), np.asarray(ref2.pos)
+                )
+
+
 def test_blit_kernel_matches_xla(interpret_pallas):
     from remap_tpu.ops import atlas as xatlas
     from remap_tpu.ops.pallas import blit as pblit
