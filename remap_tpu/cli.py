@@ -43,6 +43,13 @@ def make_parser() -> argparse.ArgumentParser:
                    help="vote histogram radius; 0 = exact full-range "
                         "counting (out-of-range votes auto-escalate)")
     p.add_argument("--splice-capacity", type=int, default=2048)
+    p.add_argument("--frame-store", choices=["auto", "hbm", "host"],
+                   default="auto",
+                   help="frame-store device residency: hbm mirrors "
+                        "packed frames+medians in device HBM after "
+                        "collect (the foreground pass reads them there "
+                        "instead of re-crossing the link); host keeps "
+                        "them host-side only")
     p.add_argument("--discovery", choices=["parity", "robust"],
                    default="parity",
                    help="window discovery: 'parity' replicates the "
@@ -136,6 +143,7 @@ def main(argv=None) -> int:
         vote_radius=args.vote_radius,
         splice_capacity=args.splice_capacity,
         discovery=args.discovery,
+        frame_store=args.frame_store,
     )
 
     try:

@@ -159,6 +159,12 @@ class PipelineConfig:
     #: download per batch (downloads are 10-100x slower than uploads on
     #: the benchmark harness).  The RLE/store parity path can re-enable.
     store_medians: bool = False
+    #: Frame-store device residency: "hbm" keeps packed frames (and
+    #: medians, when stored) mirrored in device HBM after collect so
+    #: the foreground pass never re-crosses the host->device link
+    #: (FrameStore.HBM_STORE_BUDGET); "host" disables the mirrors;
+    #: "auto" = hbm on TPU-class backends, host elsewhere.
+    frame_store: str = "auto"
     #: Frames per device dispatch in the batched collect path.
     frame_batch: int = 128
     #: Atlas dimensions are rounded up to multiples of this to bound the

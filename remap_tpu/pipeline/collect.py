@@ -59,6 +59,24 @@ class CollectResult:
     overflow_frames: int
 
 
+def _store_budget(cfg: PipelineConfig) -> int:
+    """Device-mirror byte budget from ``cfg.frame_store`` (see
+    PipelineConfig): "hbm" keeps whole sessions resident, "host"
+    disables the mirrors, "auto" picks by platform."""
+    mode = cfg.frame_store
+    if mode == "auto":
+        mode = (
+            "hbm"
+            if jax.devices()[0].platform in ("tpu", "axon")
+            else "host"
+        )
+    if mode == "hbm":
+        return FrameStore.HBM_STORE_BUDGET
+    if mode == "host":
+        return 0
+    return FrameStore.DEVICE_MIRROR_CAP
+
+
 def make_collect_step(layout: GridLayout, cfg: PipelineConfig):
     """Build the jitted pass-1 step for a fixed layout/config.
 
@@ -200,6 +218,11 @@ def match_pass(
                 np.asarray(packed[:n_real]),
                 meds,
                 device_packed=packed_dev[:n_real],
+                # the packed device median is already in HBM — donate it
+                # so the foreground pass reads it there (frame_store)
+                device_packed_medians=(
+                    median[:n_real] if cfg.store_medians else None
+                ),
             )
 
     feed = frames if hasattr(frames, "read_packed_batch") else None
@@ -538,7 +561,7 @@ def collect(
         layout = make_layout(
             w, h, cfg.grid_width, cfg.grid_height, cfg.grid_overlap
         )
-    store = FrameStore(h, w)
+    store = FrameStore(h, w, device_budget=_store_budget(cfg))
 
     offsets, matched, tabf, joinf, rangef, kp_need = match_pass(
         source, layout, cfg, store

@@ -72,9 +72,16 @@ def filter_fragments(
             else:
                 packed = store.device_packed_batch(chunk)
             recompute = not store.has_medians
-            # medians ride the link packed (2 px/byte) and unpack on
-            # device, exactly like the frames themselves
-            meds_p = None if recompute else store.packed_medians_batch(chunk)
+            # medians come from the HBM mirror when the session fits
+            # (frame_store="hbm"), riding the link packed otherwise
+            if recompute:
+                meds_p = None
+            elif multi and dev != default_dev:
+                meds_p = jax.device_put(
+                    store.packed_medians_batch(chunk), dev
+                )
+            else:
+                meds_p = store.device_packed_medians_batch(chunk)
             if n_real < b:
                 pad = b - n_real
                 packed = jnp.concatenate(
@@ -82,9 +89,9 @@ def filter_fragments(
                      jnp.zeros((pad,) + packed.shape[1:], jnp.uint8)]
                 )
                 if meds_p is not None:
-                    meds_p = np.concatenate(
-                        [meds_p, np.zeros((pad,) + meds_p.shape[1:],
-                                          np.uint8)]
+                    meds_p = jnp.concatenate(
+                        [meds_p,
+                         jnp.zeros((pad,) + meds_p.shape[1:], jnp.uint8)]
                     )
             imgs = _unpack_jit(jnp.asarray(packed), fw)
             apos = np.array(
@@ -92,15 +99,9 @@ def filter_fragments(
                 + [(0, 0)] * (b - n_real),
                 np.int32,
             )
-            if meds_p is not None:
-                meds_up = (
-                    jax.device_put(meds_p, dev)
-                    if multi and dev != default_dev
-                    else jnp.asarray(meds_p)
-                )
-                meds_dev = _unpack_jit(meds_up, fw)
-            else:
-                meds_dev = None
+            meds_dev = (
+                None if meds_p is None else _unpack_jit(meds_p, fw)
+            )
             fg = fde_ops.extract_batch(
                 background,
                 imgs,

@@ -50,34 +50,59 @@ class FrameStore:
     """Packed-nibble storage of frame + median images by frame number.
 
     The host copy is authoritative.  When the collect pass hands over
-    the device buffers it already uploaded (``device_packed``), the
-    store additionally keeps a device-resident mirror so later passes
-    (blit, foreground) gather frames from HBM instead of re-crossing
-    the host->device link.  The mirror is capped
-    (:data:`DEVICE_MIRROR_CAP`) and silently drops for huge sessions —
-    every consumer falls back to uploading the host copy."""
+    the device buffers it already uploaded (``device_packed`` /
+    ``device_packed_medians``), the store additionally keeps
+    device-resident mirrors so later passes (blit, foreground) gather
+    frames and medians from HBM instead of re-crossing the
+    host->device link — the TPU-native answer to the reference's
+    keep-everything-in-RAM design (frc.hpp:129-135, nic.hpp:8-166).
+    The mirrors are bounded by ``device_budget`` bytes (combined) and
+    silently drop for sessions that exceed it — every consumer falls
+    back to uploading the host copy.  ``PipelineConfig.frame_store``
+    selects the budget: "hbm" sizes it for session scale (a 100k NES
+    session is ~6.2 GB packed, v5e-class HBM holds it), "host" disables
+    the mirrors, "auto" picks by platform."""
 
-    #: upper bound on the device mirror (bytes of packed frames);
-    #: ~17k NES frames.  Beyond it, later passes re-upload per chunk.
+    #: conservative default mirror budget (bytes of packed frames +
+    #: medians); ~17k NES frames.  ``frame_store="hbm"`` raises it to
+    #: HBM_STORE_BUDGET.
     DEVICE_MIRROR_CAP = 512 << 20
 
-    def __init__(self, height: int, width: int):
+    #: session-scale budget for ``frame_store="hbm"``: 10 GB of the
+    #: 16 GB v5e-class HBM (the streaming/collect working set needs
+    #: the rest)
+    HBM_STORE_BUDGET = 10 << 30
+
+    def __init__(self, height: int, width: int, device_budget=None):
         self.height = height
         self.width = width
+        self.device_budget = (
+            self.DEVICE_MIRROR_CAP if device_budget is None
+            else device_budget
+        )
         self._images: Dict[int, np.ndarray] = {}
         self._medians: Dict[int, np.ndarray] = {}
         self._dev_parts: list = []    # device arrays, contiguous numbers
         self._dev_count = 0           # frames covered: numbers [0, n)
         self._dev_bytes = 0
         self._dev_stack = None        # concatenated mirror (lazy)
+        self._dev_parts_m: list = []  # median mirror (same structure)
+        self._dev_count_m = 0
+        self._dev_stack_m = None
 
     def _invalidate_mirror(self, numbers) -> None:
-        """Drop the device mirror if a mirrored row is being replaced
+        """Drop the device mirrors if a mirrored row is being replaced
         (host copy is authoritative; stale HBM rows must never win)."""
         if self._dev_parts and any(n < self._dev_count for n in numbers):
             self._dev_parts = None
             self._dev_stack = None
             self._dev_count = 0
+        if self._dev_parts_m and any(
+            n < self._dev_count_m for n in numbers
+        ):
+            self._dev_parts_m = None
+            self._dev_stack_m = None
+            self._dev_count_m = 0
 
     def put(self, number: int, image: np.ndarray, median: np.ndarray) -> None:
         self._invalidate_mirror([number])
@@ -104,12 +129,13 @@ class FrameStore:
         packed_images: np.ndarray,   # [B, H, ceil(W/2)] uint8
         packed_medians: Optional[np.ndarray] = None,
         device_packed: Optional[object] = None,  # same rows, on device
+        device_packed_medians: Optional[object] = None,
     ) -> None:
         """Store already-packed rows (the native feed's output format).
 
-        ``device_packed`` donates the uploaded device copy of the same
-        rows to the mirror (kept only while batches arrive contiguously
-        from frame 0 and the cap is not exceeded)."""
+        ``device_packed`` / ``device_packed_medians`` donate the device
+        copies of the same rows to the mirrors (kept only while batches
+        arrive contiguously from frame 0 and the budget holds)."""
         if device_packed is None:
             self._invalidate_mirror(numbers)
         for k, no in enumerate(numbers):
@@ -123,7 +149,7 @@ class FrameStore:
             nbytes = int(np.prod(device_packed.shape))
             if (
                 contiguous
-                and self._dev_bytes + nbytes <= self.DEVICE_MIRROR_CAP
+                and self._dev_bytes + nbytes <= self.device_budget
             ):
                 self._dev_parts.append(device_packed)
                 self._dev_count += len(numbers)
@@ -133,6 +159,38 @@ class FrameStore:
                 self._dev_parts = None   # disabled for this store
                 self._dev_stack = None
                 self._dev_count = 0
+        if (
+            device_packed_medians is not None
+            and self._dev_parts_m is not None
+        ):
+            contiguous = list(numbers) == list(
+                range(self._dev_count_m, self._dev_count_m + len(numbers))
+            )
+            nbytes = int(np.prod(device_packed_medians.shape))
+            if (
+                contiguous
+                and self._dev_bytes + nbytes <= self.device_budget
+            ):
+                self._dev_parts_m.append(device_packed_medians)
+                self._dev_count_m += len(numbers)
+                self._dev_bytes += nbytes
+                self._dev_stack_m = None
+            else:
+                self._dev_parts_m = None
+                self._dev_stack_m = None
+                self._dev_count_m = 0
+
+    @staticmethod
+    def _gather(parts_attr, stack, numbers):
+        import jax.numpy as jnp
+
+        if stack is None:
+            stack = (
+                parts_attr[0]
+                if len(parts_attr) == 1
+                else jnp.concatenate(parts_attr, axis=0)
+            )
+        return stack, stack[jnp.asarray(np.asarray(numbers, np.int32))]
 
     def device_packed_batch(self, numbers: List[int]):
         """Device [B, H, ceil(W/2)] uint8 for ``numbers`` — gathered
@@ -143,15 +201,29 @@ class FrameStore:
             self._dev_parts
             and all(0 <= n < self._dev_count for n in numbers)
         ):
-            if self._dev_stack is None:
-                self._dev_stack = (
-                    self._dev_parts[0]
-                    if len(self._dev_parts) == 1
-                    else jnp.concatenate(self._dev_parts, axis=0)
-                )
-                self._dev_parts = [self._dev_stack]
-            return self._dev_stack[jnp.asarray(np.asarray(numbers, np.int32))]
+            self._dev_stack, rows = self._gather(
+                self._dev_parts, self._dev_stack, numbers
+            )
+            self._dev_parts = [self._dev_stack]
+            return rows
         return jnp.asarray(self.packed_images_batch(numbers))
+
+    def device_packed_medians_batch(self, numbers: List[int]):
+        """Device packed medians for ``numbers`` from the HBM median
+        mirror, uploading the host copy otherwise — the foreground
+        pass's second link-crossing removed when the session fits."""
+        import jax.numpy as jnp
+
+        if (
+            self._dev_parts_m
+            and all(0 <= n < self._dev_count_m for n in numbers)
+        ):
+            self._dev_stack_m, rows = self._gather(
+                self._dev_parts_m, self._dev_stack_m, numbers
+            )
+            self._dev_parts_m = [self._dev_stack_m]
+            return rows
+        return jnp.asarray(self.packed_medians_batch(numbers))
 
     def image(self, number: int) -> np.ndarray:
         return unpack_nibbles(self._images[number], self.width)

@@ -47,7 +47,9 @@ class StreamingStitcher:
             collect_mod._empty_carry(self.layout, cfg.region_capacity),
             jnp.zeros((1, h, w), jnp.uint8),
         )
-        self.store = FrameStore(h, w)
+        self.store = FrameStore(
+            h, w, device_budget=collect_mod._store_budget(cfg)
+        )
         self.frame_no = 0
         self._offsets: List[np.ndarray] = []
         self._matched: List[np.ndarray] = []

@@ -289,6 +289,70 @@ def test_device_mirror_gather_matches_host():
     np.testing.assert_array_equal(got, packed[[3]])
 
 
+def test_median_mirror_and_store_budget():
+    """The median mirror returns exactly the host rows; a zero budget
+    (frame_store="host") disables both mirrors; the foreground pass is
+    identical either way."""
+    import jax.numpy as jnp
+
+    from remap_tpu.config import PipelineConfig
+    from remap_tpu.pipeline import foreground as fg
+    from remap_tpu.pipeline.state import FrameStore, pack_nibbles_batch
+
+    rng = np.random.default_rng(8)
+    imgs = rng.integers(0, 16, size=(6, 10, 12), dtype=np.uint8)
+    meds = rng.integers(0, 16, size=(6, 10, 12), dtype=np.uint8)
+    packed = pack_nibbles_batch(imgs)
+    pmeds = pack_nibbles_batch(meds)
+
+    store = FrameStore(10, 12, device_budget=FrameStore.HBM_STORE_BUDGET)
+    store.put_packed_batch(
+        [0, 1, 2], packed[:3], pmeds[:3],
+        device_packed=jnp.asarray(packed[:3]),
+        device_packed_medians=jnp.asarray(pmeds[:3]),
+    )
+    store.put_packed_batch(
+        [3, 4, 5], packed[3:], pmeds[3:],
+        device_packed=jnp.asarray(packed[3:]),
+        device_packed_medians=jnp.asarray(pmeds[3:]),
+    )
+    got = np.asarray(store.device_packed_medians_batch([4, 1, 5]))
+    np.testing.assert_array_equal(got, pmeds[[4, 1, 5]])
+
+    # zero budget: donations are refused, fallbacks return host rows
+    s0 = FrameStore(10, 12, device_budget=0)
+    s0.put_packed_batch(
+        [0, 1], packed[:2], pmeds[:2],
+        device_packed=jnp.asarray(packed[:2]),
+        device_packed_medians=jnp.asarray(pmeds[:2]),
+    )
+    assert s0._dev_parts is None and s0._dev_parts_m is None
+    np.testing.assert_array_equal(
+        np.asarray(s0.device_packed_batch([1])), packed[[1]]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s0.device_packed_medians_batch([0])), pmeds[[0]]
+    )
+
+    # fdf equality across residency modes on a real clip
+    from remap_tpu.pipeline import collect as jcollect
+    from remap_tpu.utils import testing
+
+    clip = testing.simple_clip(n_frames=8, frame_hw=(48, 64), seed=33)
+    outs = {}
+    for mode in ("hbm", "host"):
+        cfg = PipelineConfig(
+            screen_width=64, screen_height=48, frame_batch=4,
+            region_capacity=2048, store_medians=True, frame_store=mode,
+        )
+        col = jcollect.collect(iter(clip.frames), cfg)
+        filtered = fg.filter_fragments(col.fragments, cfg)
+        outs[mode] = [np.asarray(f.dots) for f in filtered]
+    assert len(outs["hbm"]) == len(outs["host"])
+    for a, b in zip(outs["hbm"], outs["host"]):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_capacity_escalation_jumps_to_measured_count(monkeypatch):
     """On dense content the strict loop must reach a sufficient table
     capacity in ONE retry — the pass measures the true per-region
