@@ -97,16 +97,31 @@ def _save_checkpoint(
     tag: str,
     fragments: List[Fragment],
     include_store: bool = True,
-) -> None:
+):
+    """Write the stage checkpoint on a worker thread.
+
+    Compression is pure host work while the following stage is
+    device-bound, so the save overlaps it instead of sitting between
+    the stage callbacks (a 100k store used to add minutes of apparent
+    stage wall).  Safe because no later stage mutates the store or the
+    saved fragments' dot canvases (splice builds new arrays).  Returns
+    the thread; the builder joins it before the next save and before
+    returning."""
     if not checkpoint_dir:
-        return
+        return None
+    import threading
     import time
 
     from remap_tpu.io import checkpoint
 
-    t0 = time.perf_counter()
-    checkpoint.save(checkpoint_dir, tag, fragments, include_store)
-    cb.on_checkpoint(tag, time.perf_counter() - t0)
+    def work():
+        t0 = time.perf_counter()
+        checkpoint.save(checkpoint_dir, tag, fragments, include_store)
+        cb.on_checkpoint(tag, time.perf_counter() - t0)
+
+    th = threading.Thread(target=work, daemon=True)
+    th.start()
+    return th
 
 
 def _checkpoint_stage(checkpoint_dir: str) -> Optional[str]:
@@ -155,12 +170,14 @@ def build(
             cb.on_splice(spliced)
             filtered = fg_stage.filter_fragments(spliced, cfg)
             cb.on_filter(filtered)
-            _save_checkpoint(
+            t_save = _save_checkpoint(
                 cb, checkpoint_dir, "filtered", filtered,
                 include_store=False,
             )
             maps = clean_stage.clean(filtered, cfg)
             cb.on_clean(maps)
+            if t_save is not None:
+                t_save.join()
             return BuildResult(
                 maps=maps, window=None, fragments=filtered, collect=None
             )
@@ -198,23 +215,27 @@ def build(
 
     col = collect_stage.collect(source, cfg)
     cb.on_collect(col)
-    _save_checkpoint(cb, checkpoint_dir, "collect", col.fragments)
+    t_save = _save_checkpoint(cb, checkpoint_dir, "collect", col.fragments)
 
     spliced = splice_stage.splice(col.fragments, cfg)
     cb.on_splice(spliced)
 
     filtered = fg_stage.filter_fragments(spliced, cfg)
     cb.on_filter(filtered)
+    if t_save is not None:
+        t_save.join()
     # the store is not re-saved: arf (the only stage past this point)
     # reads nothing but the dot canvases, and the collect checkpoint
     # already holds the frames — re-compressing the multi-GB store here
     # used to hide minutes inside the "arf" stage wall
-    _save_checkpoint(
+    t_save = _save_checkpoint(
         cb, checkpoint_dir, "filtered", filtered, include_store=False
     )
 
     maps = clean_stage.clean(filtered, cfg)
     cb.on_clean(maps)
+    if t_save is not None:
+        t_save.join()
     return BuildResult(
         maps=maps, window=window, fragments=filtered, collect=col
     )
