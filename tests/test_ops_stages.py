@@ -78,6 +78,25 @@ def test_window_scan_none_for_static():
     assert jwindow.scan(iter(frames), CFG) is None
 
 
+def test_window_scan_feed_equals_iterator(tmp_path):
+    """The packed/prefetched feed path of the scan (round 5: uploads
+    overlap + ride packed) returns the identical window to the
+    iterator path."""
+    from remap_tpu.io import frames as frames_io
+
+    clip = testing.simple_clip(
+        n_frames=40, frame_hw=(72, 96), world_hw=(200, 260), seed=7,
+        hud_rows=8, border=4, max_step=4,
+    )
+    for i, f in enumerate(clip.frames):
+        f.tofile(tmp_path / f"{i:04d}")
+    feed = frames_io.RawDirectoryFeed(str(tmp_path), 96, 72)
+    jwin_feed = jwindow.scan(feed, CFG)
+    jwin_iter = jwindow.scan(iter(clip.frames), CFG)
+    assert jwin_feed is not None
+    assert jwin_feed.raw_bounds == jwin_iter.raw_bounds
+
+
 def test_foreground_mask_matches_spec():
     rng = np.random.default_rng(67)
     world = testing.make_world(120, 160, rng)
