@@ -143,13 +143,37 @@ def make_collect_step(layout: GridLayout, cfg: PipelineConfig):
         )
         # medians download PACKED (2 px/byte): the d2h direction is the
         # slow one on tunnel-attached harnesses, and the host stores
-        # them packed anyway
-        return (
-            pack_nibbles_device(dense.median), offset, ok, tab_ovf,
-            join_ovf, range_ovf, kp_need, new_carry,
+        # them packed anyway.  All per-frame scalars stack into ONE
+        # [B, 7] int32 array so the drain pays a single fetch round
+        # trip per batch instead of six (each np.asarray costs a full
+        # tunnel RTT; six of them were ~45% of the session frc wall).
+        scalars = jnp.concatenate(
+            [
+                offset.astype(jnp.int32),
+                ok.astype(jnp.int32)[:, None],
+                tab_ovf.astype(jnp.int32)[:, None],
+                join_ovf.astype(jnp.int32)[:, None],
+                range_ovf.astype(jnp.int32)[:, None],
+                kp_need.astype(jnp.int32)[:, None],
+            ],
+            axis=1,
         )
+        return pack_nibbles_device(dense.median), scalars, new_carry
 
     return step
+
+
+def split_step_scalars(scalars: np.ndarray):
+    """(offsets, ok, tab_ovf, join_ovf, range_ovf, kp_need) from the
+    stacked [B, 7] int32 the collect step returns."""
+    return (
+        scalars[:, 0:2],
+        scalars[:, 2] > 0,
+        scalars[:, 3] > 0,
+        scalars[:, 4] > 0,
+        scalars[:, 5] > 0,
+        scalars[:, 6],
+    )
 
 
 def _empty_carry(layout: GridLayout, capacity: int) -> table_ops.RegionTables:
@@ -199,16 +223,21 @@ def match_pass(
     )
 
     def drain(p) -> None:
-        """Materialize one dispatched step's outputs (blocks on device)."""
+        """Materialize one dispatched step's outputs (blocks on device).
+
+        One fetch: the step's per-frame scalars arrive stacked
+        ([B, 7] int32) so the batch costs a single tunnel round trip."""
         nonlocal kp_need
-        num, n_real, packed, packed_dev, median, off, ok, tovf, jovf, \
-            rovf, kpn = p
-        offsets.append(np.asarray(off)[:n_real])
-        matched.append(np.asarray(ok)[:n_real])
-        tab_flags.append(np.asarray(tovf)[:n_real])
-        join_flags.append(np.asarray(jovf)[:n_real])
-        range_flags.append(np.asarray(rovf)[:n_real])
-        kp_need = max(kp_need, int(np.asarray(kpn)[:n_real].max(initial=0)))
+        num, n_real, packed, packed_dev, median, scalars = p
+        off, ok, tovf, jovf, rovf, kpn = split_step_scalars(
+            np.asarray(scalars)[:n_real]
+        )
+        offsets.append(off)
+        matched.append(ok)
+        tab_flags.append(tovf)
+        join_flags.append(jovf)
+        range_flags.append(rovf)
+        kp_need = max(kp_need, int(kpn.max(initial=0)))
         if store is not None:
             meds = (
                 np.asarray(median)[:n_real] if cfg.store_medians else None
@@ -277,12 +306,9 @@ def match_pass(
             # mirror so pass 2 / foreground never re-upload frames
             packed_dev = jnp.asarray(packed)
             images = _unpack_jit(packed_dev, w_full)
-            median, off, ok, tovf, jovf, rovf, kpn, carry = step(
-                images, carry
-            )
+            median, scalars, carry = step(images, carry)
             pending.append((
-                number, n_real, packed, packed_dev, median, off, ok, tovf,
-                jovf, rovf, kpn,
+                number, n_real, packed, packed_dev, median, scalars,
             ))
             # k-deep dispatch chain: keep up to `depth` batches in flight
             # so the blocking fetch of batch n happens after batch

@@ -70,26 +70,27 @@ class StreamingStitcher:
             batch = np.concatenate(
                 [batch, np.repeat(batch[-1:], b - n_real, axis=0)]
             )
-        median, off, ok, tovf, jovf, rovf, kpn, self._carry = self._step(
+        median, scalars, self._carry = self._step(
             jnp.asarray(batch), self._carry
+        )
+        off, ok, tovf, jovf, rovf, kpn = collect_mod.split_step_scalars(
+            np.asarray(scalars)[:n_real]
         )
         # true max per-region keypoint count seen so far: consumers that
         # hit table overflow can re-run at exactly this capacity
         self.needed_capacity = max(
-            self.needed_capacity,
-            int(np.asarray(kpn)[:n_real].max(initial=0)),
+            self.needed_capacity, int(kpn.max(initial=0))
         )
-        off = np.asarray(off)[:n_real].copy()
-        ok = np.asarray(ok)[:n_real].copy()
+        off = off.copy()
+        ok = ok.copy()
         if self.frame_no == 0:
             ok[0] = False
         off[~ok] = 0
-        rovf = np.asarray(rovf)[:n_real]
         # range overflow counts as overflow for the public counter: callers
         # checking only overflow_frames must never silently accept inexact
         # offsets (the separate counter remains as the cheap-recovery hint —
         # re-running with vote_radius=0 alone recovers those frames)
-        ovf = np.asarray(tovf)[:n_real] | np.asarray(jovf)[:n_real] | rovf
+        ovf = tovf | jovf | rovf
         self.overflow_frames += int(ovf.sum())
         self.range_overflow_frames += int(rovf.sum())
         # the step's medians arrive packed (collect packs on device
