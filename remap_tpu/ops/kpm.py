@@ -320,6 +320,112 @@ def _join_slots(
     return dx, dy, pair, n_missed, rows_missed, spx, spy, needed_m
 
 
+def _join_slots_scan(
+    p_codes, p_pos, p_valid,      # [K,4] u32, [K,2] i32, [K] bool
+    c_codes, c_pos, c_sel,
+    multiplicity: int,
+):
+    """:func:`_join_slots` without the int32 coordinate-packing bound.
+
+    Same slot-major enumeration (the j-th partner of every curr row in a
+    run is the run's j-th prev entry), but the per-slot partner
+    coordinates are carried by a segmented forward fill implemented as
+    ``lax.associative_scan`` over ``(emitted, x, y)`` tuples — "latest
+    emit wins" — instead of one cummax over ``rid * lim + coord`` packed
+    keys.  Correctness of the carry needs no run id: ``pair`` is only
+    valid where ``slot < n_prev`` of the row's own run, and in exactly
+    those positions the latest slot-j emit at or before the row IS this
+    run's j-th prev entry (any other run's emit would have to start
+    later).  Works at any ``2K * coord`` product, which the session-scale
+    splice canvases exceed (fgs.hpp:119-140 scale).
+
+    Compile-size note: the program contains NO construct that grows with
+    ``multiplicity`` (the slot axis is an array dimension) — the XLA
+    compile wall measured on the unrolled ``_join_rolled`` at
+    session-scale capacities (~110 s per multiplicity signature over the
+    remote-compile tunnel, benchmarks/fgs_match_probe.py) does not apply.
+
+    Returns (dx [m, 2K], dy [m, 2K], pair [m, 2K], n_missed [],
+    rows_missed [], curr_x [2K], curr_y [2K], needed_m [])."""
+    k = p_codes.shape[0]
+    n = 2 * k
+    m = multiplicity
+
+    codes = jnp.concatenate([p_codes, c_codes])          # [2K, 4]
+    validc = jnp.concatenate([p_valid, c_sel])
+    inv = jnp.where(validc, jnp.uint32(0), _SENT)
+    tag = jnp.concatenate(
+        [jnp.zeros((k,), jnp.uint32), jnp.ones((k,), jnp.uint32)]
+    )
+    px = jnp.concatenate([p_pos[:, 0], c_pos[:, 0]])
+    py = jnp.concatenate([p_pos[:, 1], c_pos[:, 1]])
+
+    s0, s1, s2, s3, spx, spy = jax.lax.sort(
+        (
+            codes[:, 0] | inv,
+            codes[:, 1] | inv,
+            codes[:, 2] | inv,
+            ((codes[:, 3] << 1) | tag) | inv,
+            px,
+            py,
+        ),
+        num_keys=4,
+    )
+    is_curr_row = (s3 & 1) != 0
+    not_sent = s3 != _SENT
+    is_prev = (~is_curr_row) & not_sent
+    is_curr = is_curr_row & not_sent
+
+    iota = jnp.arange(n, dtype=jnp.int32)
+    m3 = s3 | 1                   # mask the origin bit out of run keys
+    neq = (
+        (s0[1:] != s0[:-1])
+        | (s1[1:] != s1[:-1])
+        | (s2[1:] != s2[:-1])
+        | (m3[1:] != m3[:-1])
+    )
+    is_start = jnp.concatenate([jnp.ones((1,), bool), neq])
+    run_start = jax.lax.cummax(jnp.where(is_start, iota, 0))
+    d = iota - run_start                                  # distance to start
+
+    pcum_ex = jnp.cumsum(is_prev) - is_prev
+    start_val = jax.lax.cummax(jnp.where(is_start, pcum_ex, -1))
+    n_prev = pcum_ex - start_val
+    total_true = jnp.sum(jnp.where(is_curr, n_prev, 0))
+
+    slot = jnp.arange(m, dtype=jnp.int32)[:, None]        # [m, 1]
+    emit = is_prev[None, :] & (d[None, :] == slot)        # [m, n]
+
+    def fill_latest(val):
+        """Forward fill along the row axis: at each position, ``val`` of
+        the latest emit at or before it ("latest emit wins"; validity is
+        enforced by the caller's ``slot < n_prev`` test)."""
+
+        def combine(a, b):
+            fa, va = a
+            fb, vb = b
+            return fa | fb, jnp.where(fb, vb, va)
+
+        _, filled = jax.lax.associative_scan(
+            combine, (emit, jnp.where(emit, val[None, :], 0)), axis=1
+        )
+        return filled
+
+    partner_x = fill_latest(spx)
+    partner_y = fill_latest(spy)
+    pair = is_curr[None, :] & (slot < n_prev[None, :])    # [m, n]
+    dx = partner_x - spx[None, :]
+    dy = partner_y - spy[None, :]
+
+    n_missed = total_true - jnp.sum(pair, dtype=jnp.int32)
+    enum_row = jnp.sum(pair, axis=0, dtype=jnp.int32)     # [2K]
+    rows_missed = jnp.sum(
+        is_curr & (n_prev > enum_row), dtype=jnp.int32
+    )
+    needed_m = jnp.max(jnp.where(is_curr, n_prev, 0)).astype(jnp.int32)
+    return dx, dy, pair, n_missed, rows_missed, spx, spy, needed_m
+
+
 def _join_dense(
     p_codes, p_pos, p_valid,      # [K,4] u32, [K,2] i32, [K] bool
     c_codes, c_pos, c_sel,

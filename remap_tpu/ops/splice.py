@@ -24,7 +24,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from remap_tpu.ops.kpm import _join_dense, _join_rolled
+from remap_tpu.ops.kpm import _join_dense, _join_slots_scan
 
 
 class CellMatch(NamedTuple):
@@ -60,9 +60,13 @@ def match_fragments(
             p_codes, p_pos, p_valid, c_codes, c_pos, c_valid
         )
     else:
-        dx, dy, pair, n_missed, _rm, scx, scy, needed_m = _join_rolled(
+        # slots-scan: identical pair set to the rolled join, but the
+        # program size is multiplicity-invariant — session-scale splice
+        # walks a multiplicity ladder and each _join_rolled level paid a
+        # ~110 s remote XLA compile (benchmarks/fgs_match_probe.py)
+        dx, dy, pair, n_missed, _rm, scx, scy, needed_m = _join_slots_scan(
             p_codes, p_pos, p_valid, c_codes, c_pos, c_valid,
-            multiplicity, max_run=2 * multiplicity,
+            multiplicity,
         )
     # the cellular vote has no per-offset margin to bound against, so any
     # truncated pair keeps the conservative escalate-on-truncation rule

@@ -58,12 +58,12 @@ def clean_fragments(
     its device (async); phase 2 fetches and applies the exact host
     re-selection of stability-flagged pixels + the margin crop.  Results
     equal pipeline.clean.clean exactly."""
-    from remap_tpu.pipeline.clean import margins_of
+    from remap_tpu.pipeline.clean import margins_of_fragment
 
     devs = fragment_devices(len(fragments), devices)
     pending = []
     for frag, dev in zip(fragments, devs):
-        dots = jax.device_put(frag.dots, dev)
+        dots = jax.device_put(frag.device_dots(), dev)
         image, mask = atlas_ops.blend(dots)
         res = arf_ops.filter_fragment_dispatch(
             dots, image, mask,
@@ -78,7 +78,7 @@ def clean_fragments(
         out = arf_ops.filter_fragment_finalize(
             dots, res, cfg.artifact_filter_dev
         )
-        left, top, right, bottom = margins_of(frag.dots)
+        left, top, right, bottom = margins_of_fragment(frag)
         h, w = out.shape
         maps.append(out[top : h - bottom, left : w - right])
     return maps
@@ -95,6 +95,6 @@ def blend_fragments(
     devs = fragment_devices(len(fragments), devices)
     out = []
     for frag, dev in zip(fragments, devs):
-        dots = jax.device_put(frag.dots, dev)
+        dots = jax.device_put(frag.device_dots(), dev)
         out.append(atlas_ops.blend(dots))
     return out, devs

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import List
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -35,8 +36,41 @@ def margins_of(dots: np.ndarray) -> tuple:
     )
 
 
+@jax.jit
+def _margins_jit(dots):
+    """Device form of :func:`margins_of`: one [5] fetch instead of
+    downloading a session-scale canvas to scan it on the host."""
+    nonempty = dots.any(axis=2)
+    h, w = nonempty.shape
+    cols = nonempty.any(axis=0)
+    rows = nonempty.any(axis=1)
+    left = jnp.argmax(cols)
+    top = jnp.argmax(rows)
+    right = w - 1 - jnp.argmax(cols[::-1])
+    bottom = h - 1 - jnp.argmax(rows[::-1])
+    return jnp.stack([
+        left.astype(jnp.int32),
+        top.astype(jnp.int32),
+        (w - 1 - right).astype(jnp.int32),
+        (h - 1 - bottom).astype(jnp.int32),
+        nonempty.any().astype(jnp.int32),
+    ])
+
+
+def margins_of_fragment(frag: Fragment) -> tuple:
+    """Empty margins of a fragment's canvas, on whichever side of the
+    link the canvas already lives."""
+    if frag.dots_dev is not None:
+        ltrb = np.asarray(_margins_jit(frag.dots_dev))
+        if not ltrb[4]:
+            h, w = frag.shape
+            return (w, h, w, h)
+        return (int(ltrb[0]), int(ltrb[1]), int(ltrb[2]), int(ltrb[3]))
+    return margins_of(frag.dots)
+
+
 def clean_fragment(frag: Fragment, cfg: PipelineConfig) -> np.ndarray:
-    dots = jnp.asarray(frag.dots)
+    dots = frag.device_dots()
     image, mask = atlas_ops.blend(dots)
     out = arf_ops.filter_fragment(
         dots,
@@ -47,7 +81,7 @@ def clean_fragment(frag: Fragment, cfg: PipelineConfig) -> np.ndarray:
         threshold=cfg.artifact_heat_threshold,
     )
     out_np = np.asarray(out)
-    left, top, right, bottom = margins_of(frag.dots)
+    left, top, right, bottom = margins_of_fragment(frag)
     h, w = out_np.shape
     return out_np[top : h - bottom, left : w - right]
 

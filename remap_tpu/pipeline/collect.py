@@ -454,6 +454,12 @@ def _unpack_jit(packed, width):
     return unpack_nibbles_device(packed, width)
 
 
+@functools.partial(jax.jit, static_argnames=("ch", "cw"))
+def _crop_transpose_jit(dots, ch, cw):
+    """Pallas blit layout [16, HP, WP] -> canvas layout [ch, cw, 16]."""
+    return dots[:, :ch, :cw].transpose(1, 2, 0)
+
+
 @functools.partial(jax.jit, static_argnames=("b", "h", "w"))
 def _validity_mask(n_real, b, h, w):
     """[b, h, w] uint8 mask: 1 for the first ``n_real`` frames."""
@@ -530,12 +536,16 @@ def blit_pass(
                     masks=1 - vote_ok,
                     dots=dots,
                 )
+        # the canvas stays device-resident: splice/foreground/clean
+        # consume it from HBM, and the host copy (checkpoints, tests)
+        # materializes lazily on first .dots access — a session-scale
+        # canvas crossing the link here cost tens of seconds
         if seg_pallas:
-            dots_np = np.asarray(dots)[:, :ch, :cw].transpose(1, 2, 0)
+            dots_dev = _crop_transpose_jit(dots, ch, cw)
         else:
-            dots_np = np.asarray(dots)
+            dots_dev = dots
         frag = Fragment(
-            dots=dots_np,
+            dots_dev=dots_dev,
             zero=zero,
             frames=[
                 FrameRef(number=no, position=p)

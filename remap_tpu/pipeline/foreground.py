@@ -49,7 +49,9 @@ def filter_fragments(
         ch, cw = frag.shape
 
         dots_dev = (
-            jax.device_put(frag.dots, dev) if multi else jnp.asarray(frag.dots)
+            jax.device_put(frag.device_dots(), dev)
+            if multi
+            else frag.device_dots()
         )
         background, _ = atlas_ops.blend(dots_dev)
 
@@ -124,11 +126,13 @@ def filter_fragments(
             )
         pending.append((frag, out_dots, nums, poss))
 
-    # fetch AFTER every fragment's chain is dispatched
+    # the filtered canvases stay device-resident for the clean stage
+    # (materialized lazily on .dots access); nothing here blocks — every
+    # fragment's chain was dispatched above
     results: List[Fragment] = []
     for frag, out_dots, nums, poss in pending:
         results.append(Fragment(
-            dots=np.asarray(out_dots),
+            dots_dev=out_dots,
             zero=frag.zero,
             frames=[FrameRef(number=n, position=p) for n, p in zip(nums, poss)],
             store=frag.store,

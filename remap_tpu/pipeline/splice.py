@@ -79,6 +79,26 @@ def _shape_bucket(n: int) -> int:
     return ((n + _SHAPE_BUCKET - 1) // _SHAPE_BUCKET) * _SHAPE_BUCKET
 
 
+@functools.partial(jax.jit, static_argnames=("hb", "wb"))
+def _pad_canvas_jit(dots, hb, wb):
+    h, w = dots.shape[:2]
+    return jnp.pad(dots, ((0, hb - h), (0, wb - w), (0, 0)))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("gt", "gb", "gl", "gr")
+)
+def _merge_canvas_jit(ldots, rdots, gt, gb, gl, gr, ay, ax):
+    """Step-quantized growth + histogram add on device (fgm.hpp:99-113
+    blit semantics, uint16 wrap).  Growths are static (they set the
+    output shape); the blit position is traced, so every merge at the
+    same (shapes, growth) signature reuses one program."""
+    dots = jnp.pad(ldots, ((gt, gb), (gl, gr), (0, 0)))
+    start = (ay, ax, jnp.int32(0))
+    view = jax.lax.dynamic_slice(dots, start, rdots.shape)
+    return jax.lax.dynamic_update_slice(dots, view + rdots, start)
+
+
 @functools.partial(
     jax.jit, static_argnames=("kh", "use_pallas", "grid_vote")
 )
@@ -110,16 +130,15 @@ def _snippet_dispatch(frag: Fragment, cfg: PipelineConfig, device=None):
 
     ch, cw = frag.shape
     hb2, wb2 = _shape_bucket(ch), _shape_bucket(cw)
-    dots_np = frag.dots
-    if (hb2, wb2) != (ch, cw):
-        dots_np = np.pad(
-            dots_np, ((0, hb2 - ch), (0, wb2 - cw), (0, 0))
-        )
     dots = (
-        jnp.asarray(dots_np)
+        frag.device_dots()
         if device is None
-        else jax.device_put(dots_np, device)
+        else jax.device_put(frag.device_dots(), device)
     )
+    if (hb2, wb2) != (ch, cw):
+        # pad on device — a session-scale canvas uploaded here cost
+        # tens of link-bound seconds; shape buckets bound the compiles
+        dots = _pad_canvas_jit(dots, hb2, wb2)
     use_pallas = _jax.devices()[0].platform in ("tpu", "axon")
     image, mask, w8, codes, total_dev = _snippet_device(
         dots,
@@ -386,11 +405,17 @@ def merge_fragments(
         if pos[1] + rh > zy + lh
         else 0
     )
-    dots = np.pad(left.dots, ((grow_t, grow_b), (grow_l, grow_r), (0, 0)))
     zero = (zx - grow_l, zy - grow_t)
     ax, ay = pos[0] - zero[0], pos[1] - zero[1]
-    view = dots[ay : ay + rh, ax : ax + rw]
-    np.add(view, right.dots, out=view)
+    # merge on device: both canvases are already (or become) HBM-resident
+    # and the grown result feeds straight into the next snippet
+    # re-extraction — the round-4 host merge re-crossed the link with
+    # every canvas it touched
+    dots_dev = _merge_canvas_jit(
+        left.device_dots(), right.device_dots(),
+        grow_t, grow_b, grow_l, grow_r,
+        jnp.int32(ay), jnp.int32(ax),
+    )
 
     frames = [FrameRef(f.number, f.position) for f in left.frames]
     for f in right.frames:
@@ -403,7 +428,9 @@ def merge_fragments(
                 ),
             )
         )
-    merged = Fragment(dots=dots, zero=zero, frames=frames, store=left.store)
+    merged = Fragment(
+        dots_dev=dots_dev, zero=zero, frames=frames, store=left.store
+    )
     merged.normalize()
     return merged
 

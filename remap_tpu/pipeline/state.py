@@ -288,7 +288,6 @@ class FrameRef:
     position: Tuple[int, int]  # (x, y) in fragment coordinate space
 
 
-@dataclasses.dataclass(eq=False)
 class Fragment:
     """A stitched map fragment: vote-histogram canvas + frame records.
 
@@ -296,12 +295,61 @@ class Fragment:
     arithmetically, fgm.hpp:190-233) so downstream keypoint extraction sees
     identical bounds.  ``zero`` is the canvas origin in position space;
     after :meth:`normalize` all record positions are canvas indices.
-    """
 
-    dots: np.ndarray                 # [Ha, Wa, 16] uint16
-    zero: Tuple[int, int]
-    frames: List[FrameRef]
-    store: Optional[FrameStore] = None
+    The canvas may be **device-resident**: a session-scale [H, W, 16]
+    uint16 canvas is ~0.5 GB, and on link-bound harnesses every
+    host<->device crossing of it costs tens of seconds — the round-4
+    100k contract paid the link FIVE times between collect and clean
+    (download, splice upload, merged re-upload, foreground round-trip,
+    clean upload).  Stages that produce the canvas on device
+    (collect.blit_pass, foreground) hand it over as ``dots_dev``; stages
+    that consume it on device call :meth:`device_dots`.  Reading
+    ``.dots`` lazily materializes (downloads) the host copy — the
+    checkpoint writer and NumPy-level tests see the exact same array
+    they always did, while the production pipeline never crosses the
+    link.  Assigning ``.dots`` invalidates the device mirror (host copy
+    is authoritative, as in :class:`FrameStore`)."""
+
+    def __init__(
+        self,
+        dots: Optional[np.ndarray] = None,    # [Ha, Wa, 16] uint16
+        zero: Tuple[int, int] = (0, 0),
+        frames: Optional[List[FrameRef]] = None,
+        store: Optional[FrameStore] = None,
+        dots_dev=None,                        # same canvas, on device
+    ):
+        assert dots is not None or dots_dev is not None
+        self._dots = dots
+        self.dots_dev = dots_dev
+        self.zero = zero
+        self.frames = frames if frames is not None else []
+        self.store = store
+
+    @property
+    def dots(self) -> np.ndarray:
+        if self._dots is None:
+            self._dots = np.asarray(self.dots_dev)
+        return self._dots
+
+    @dots.setter
+    def dots(self, value: np.ndarray) -> None:
+        self._dots = value
+        self.dots_dev = None
+
+    def device_dots(self):
+        """The canvas on device (uploads and caches the host copy when
+        no device mirror exists)."""
+        if self.dots_dev is None:
+            import jax.numpy as jnp
+
+            self.dots_dev = jnp.asarray(self._dots)
+        return self.dots_dev
+
+    def drop_device(self) -> None:
+        """Release the HBM mirror (materializes the host copy first)."""
+        if self.dots_dev is not None:
+            _ = self.dots
+            self.dots_dev = None
 
     def normalize(self) -> None:
         zx, zy = self.zero
@@ -311,7 +359,8 @@ class Fragment:
 
     @property
     def shape(self) -> Tuple[int, int]:
-        return self.dots.shape[0], self.dots.shape[1]
+        a = self._dots if self._dots is not None else self.dots_dev
+        return a.shape[0], a.shape[1]
 
 
 def simulate_growth(

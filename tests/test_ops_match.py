@@ -267,6 +267,50 @@ def test_join_slots_equals_rolled():
         assert (rk[m:] == sent).all()        # rolled's extra slots empty
 
 
+def test_join_slots_scan_equals_rolled():
+    """The associative-scan slot join (no coordinate-packing bound, used
+    by the splice matcher whose session canvases exceed _join_slots'
+    int32 packing) must also enumerate exactly the rolled join's pairs —
+    including positions beyond the packing limit that forced it."""
+    rng = np.random.default_rng(321)
+    k = 64
+    for m in (1, 2, 4, 16):
+        codes = rng.integers(1, 12, size=(2, k, 4)).astype(np.uint32)
+        # coordinates at session-canvas magnitude: 2K * coord would
+        # overflow the packed-cummax form's int32 bound
+        pos = rng.integers(0, 40_000_000, size=(2, k, 2)).astype(np.int32)
+        valid = rng.random((2, k)) < 0.8
+
+        args = (
+            jnp.asarray(codes[0]), jnp.asarray(pos[0]),
+            jnp.asarray(valid[0]),
+            jnp.asarray(codes[1]), jnp.asarray(pos[1]),
+            jnp.asarray(valid[1]),
+        )
+        rolled = jkpm._join_rolled(*args, m, max_run=2 * m)
+        scan = jkpm._join_slots_scan(*args, m)
+
+        assert int(rolled[3]) == int(scan[3])    # n_missed
+        assert int(rolled[4]) == int(scan[4])    # rows_missed
+        assert int(rolled[7]) == int(scan[7])    # needed_m
+        np.testing.assert_array_equal(np.asarray(rolled[5]),
+                                      np.asarray(scan[5]))
+
+        sent = 1 << 62
+
+        def row_keys(out):
+            dx, dy, pair = (np.asarray(a).astype(np.int64) for a in out[:3])
+            keys = np.where(
+                pair > 0, (dx + 2**26) * 2**27 + (dy + 2**26), sent
+            )
+            return np.sort(keys, axis=0)     # per curr row (axis 1)
+
+        rk = row_keys(rolled)                # [2m, 2K]
+        sk = row_keys(scan)                  # [m, 2K]
+        np.testing.assert_array_equal(rk[:m], sk)
+        assert (rk[m:] == sent).all()
+
+
 def test_join_decision_bound():
     """A truncated join (repeated code beyond multiplicity) must flag
     overflow ONLY when the missed-pair mass could alter a region ticket:
