@@ -324,32 +324,45 @@ def _join_slots_scan(
     p_codes, p_pos, p_valid,      # [K,4] u32, [K,2] i32, [K] bool
     c_codes, c_pos, c_sel,
     multiplicity: int,
+    coord_limit: int = 8192,
 ):
-    """:func:`_join_slots` without the int32 coordinate-packing bound.
+    """:func:`_join_slots` beyond the single-cummax packing bound.
 
     Same slot-major enumeration (the j-th partner of every curr row in a
-    run is the run's j-th prev entry), but the per-slot partner
-    coordinates are carried by a segmented forward fill implemented as
-    ``lax.associative_scan`` over ``(emitted, x, y)`` tuples — "latest
-    emit wins" — instead of one cummax over ``rid * lim + coord`` packed
-    keys.  Correctness of the carry needs no run id: ``pair`` is only
-    valid where ``slot < n_prev`` of the row's own run, and in exactly
-    those positions the latest slot-j emit at or before the row IS this
-    run's j-th prev entry (any other run's emit would have to start
-    later).  Works at any ``2K * coord`` product, which the session-scale
-    splice canvases exceed (fgs.hpp:119-140 scale).
+    run is the run's j-th prev entry) and the same "pack into a
+    monotone key, carry with one cummax" fill — but the partner
+    coordinate is SPLIT into bit fields small enough that each field's
+    ``rid * 2^bits + field`` pack stays inside int32, one cummax per
+    field.  Two scans per axis cover any canvas below 8192 px at up to
+    ~16M table rows — the session-scale splice canvases that overflow
+    :func:`_join_slots`' single pack (fgs.hpp:119-140 scale).
 
-    Compile-size note: the program contains NO construct that grows with
-    ``multiplicity`` (the slot axis is an array dimension) — the XLA
-    compile wall measured on the unrolled ``_join_rolled`` at
-    session-scale capacities (~110 s per multiplicity signature over the
-    remote-compile tunnel, benchmarks/fgs_match_probe.py) does not apply.
+    (A tuple ``lax.associative_scan`` fill was measured first: it is
+    compile-size-invariant in multiplicity but builds the log2(n)
+    odd/even recursion in the graph itself — 145-166 s of remote XLA
+    compile at n=2^20 vs sub-second for the built-in cummax lowering,
+    benchmarks/fgs_match_probe.py.)
+
+    Enumerates all first-min(n_prev, m) partners per curr row — a
+    SUPERSET of :func:`_join_rolled`, whose ``max_run`` roll window
+    additionally truncates long runs (both forms count every missed
+    pair in ``n_missed``/``rows_missed``, so strict callers escalate
+    identically; asserted in tests/test_ops_match.py).
+
+    Compile-size note: NO construct grows with ``multiplicity`` (the
+    slot axis is an array dimension) — the ~110 s-per-level compile
+    wall of the unrolled ``_join_rolled`` at session capacities does
+    not apply.
 
     Returns (dx [m, 2K], dy [m, 2K], pair [m, 2K], n_missed [],
     rows_missed [], curr_x [2K], curr_y [2K], needed_m [])."""
     k = p_codes.shape[0]
     n = 2 * k
     m = multiplicity
+    coord_bits = max(1, (coord_limit - 1).bit_length())
+    rid_bits = (n + 1).bit_length()
+    field_bits = 30 - rid_bits
+    assert field_bits >= 1, (n, coord_limit)
 
     codes = jnp.concatenate([p_codes, c_codes])          # [2K, 4]
     validc = jnp.concatenate([p_valid, c_sel])
@@ -385,6 +398,7 @@ def _join_slots_scan(
         | (m3[1:] != m3[:-1])
     )
     is_start = jnp.concatenate([jnp.ones((1,), bool), neq])
+    rid = jnp.cumsum(is_start).astype(jnp.int32)          # 1..n, monotone
     run_start = jax.lax.cummax(jnp.where(is_start, iota, 0))
     d = iota - run_start                                  # distance to start
 
@@ -399,17 +413,21 @@ def _join_slots_scan(
     def fill_latest(val):
         """Forward fill along the row axis: at each position, ``val`` of
         the latest emit at or before it ("latest emit wins"; validity is
-        enforced by the caller's ``slot < n_prev`` test)."""
-
-        def combine(a, b):
-            fa, va = a
-            fb, vb = b
-            return fa | fb, jnp.where(fb, vb, va)
-
-        _, filled = jax.lax.associative_scan(
-            combine, (emit, jnp.where(emit, val[None, :], 0)), axis=1
-        )
-        return filled
+        enforced by the caller's ``slot < n_prev`` test).  One cummax
+        per bit field: ``rid`` increases along the axis, so the packed
+        key of the latest emit dominates every earlier one."""
+        out = jnp.zeros((m, n), jnp.int32)
+        shift = 0
+        while shift < coord_bits:
+            bits = min(field_bits, coord_bits - shift)
+            field = (val >> shift) & ((1 << bits) - 1)
+            packed = jnp.where(
+                emit, (rid << bits) + field[None, :], 0
+            )
+            got = jax.lax.cummax(packed, axis=1) & ((1 << bits) - 1)
+            out = out | (got << shift)
+            shift += bits
+        return out
 
     partner_x = fill_latest(spx)
     partner_y = fill_latest(spy)

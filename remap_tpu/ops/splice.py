@@ -60,13 +60,14 @@ def match_fragments(
             p_codes, p_pos, p_valid, c_codes, c_pos, c_valid
         )
     else:
-        # slots-scan: identical pair set to the rolled join, but the
-        # program size is multiplicity-invariant — session-scale splice
-        # walks a multiplicity ladder and each _join_rolled level paid a
-        # ~110 s remote XLA compile (benchmarks/fgs_match_probe.py)
+        # slots-scan: same enumeration rule as the streaming join, but
+        # the program size is multiplicity-invariant — session-scale
+        # splice walks a multiplicity ladder and each _join_rolled level
+        # paid a ~110 s remote XLA compile (benchmarks/fgs_match_probe.py)
         dx, dy, pair, n_missed, _rm, scx, scy, needed_m = _join_slots_scan(
             p_codes, p_pos, p_valid, c_codes, c_pos, c_valid,
             multiplicity,
+            coord_limit=max(8192, 1 << (max(hb, wb) - 1).bit_length()),
         )
     # the cellular vote has no per-offset margin to bound against, so any
     # truncated pair keeps the conservative escalate-on-truncation rule

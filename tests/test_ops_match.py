@@ -267,18 +267,20 @@ def test_join_slots_equals_rolled():
         assert (rk[m:] == sent).all()        # rolled's extra slots empty
 
 
-def test_join_slots_scan_equals_rolled():
-    """The associative-scan slot join (no coordinate-packing bound, used
-    by the splice matcher whose session canvases exceed _join_slots'
-    int32 packing) must also enumerate exactly the rolled join's pairs —
-    including positions beyond the packing limit that forced it."""
+def test_join_slots_scan_equals_slots():
+    """The split-field cummax join (used by the splice matcher, whose
+    session canvases exceed _join_slots' single int32 pack) must
+    enumerate EXACTLY the packed slot join's pairs: same per-row partner
+    multisets, same truncation accounting — across multiplicities,
+    run lengths far beyond the rolled join's max_run window, invalid
+    rows, and coordinates needing multiple bit fields."""
     rng = np.random.default_rng(321)
     k = 64
     for m in (1, 2, 4, 16):
-        codes = rng.integers(1, 12, size=(2, k, 4)).astype(np.uint32)
-        # coordinates at session-canvas magnitude: 2K * coord would
-        # overflow the packed-cummax form's int32 bound
-        pos = rng.integers(0, 40_000_000, size=(2, k, 2)).astype(np.int32)
+        # ~6 distinct codes over 64 rows -> runs of ~20, far beyond
+        # max_run=2m at small m
+        codes = rng.integers(1, 6, size=(2, k, 4)).astype(np.uint32)
+        pos = rng.integers(0, 6000, size=(2, k, 2)).astype(np.int32)
         valid = rng.random((2, k)) < 0.8
 
         args = (
@@ -287,13 +289,13 @@ def test_join_slots_scan_equals_rolled():
             jnp.asarray(codes[1]), jnp.asarray(pos[1]),
             jnp.asarray(valid[1]),
         )
-        rolled = jkpm._join_rolled(*args, m, max_run=2 * m)
-        scan = jkpm._join_slots_scan(*args, m)
+        slots = jkpm._join_slots(*args, m, coord_limit=6000)
+        scan = jkpm._join_slots_scan(*args, m, coord_limit=8192)
 
-        assert int(rolled[3]) == int(scan[3])    # n_missed
-        assert int(rolled[4]) == int(scan[4])    # rows_missed
-        assert int(rolled[7]) == int(scan[7])    # needed_m
-        np.testing.assert_array_equal(np.asarray(rolled[5]),
+        assert int(slots[3]) == int(scan[3])     # n_missed
+        assert int(slots[4]) == int(scan[4])     # rows_missed
+        assert int(slots[7]) == int(scan[7])     # needed_m
+        np.testing.assert_array_equal(np.asarray(slots[5]),
                                       np.asarray(scan[5]))
 
         sent = 1 << 62
@@ -305,10 +307,18 @@ def test_join_slots_scan_equals_rolled():
             )
             return np.sort(keys, axis=0)     # per curr row (axis 1)
 
-        rk = row_keys(rolled)                # [2m, 2K]
-        sk = row_keys(scan)                  # [m, 2K]
-        np.testing.assert_array_equal(rk[:m], sk)
-        assert (rk[m:] == sent).all()
+        np.testing.assert_array_equal(row_keys(slots), row_keys(scan))
+
+        # the rolled join's window additionally truncates long runs;
+        # every such pair must be in its missed accounting, so strict
+        # callers escalate identically (the enumerated sets agree where
+        # the window fits)
+        rolled = jkpm._join_rolled(*args, m, max_run=2 * m)
+        r_pairs = int(np.asarray(rolled[2]).sum())
+        s_pairs = int(np.asarray(scan[2]).sum())
+        assert r_pairs + int(rolled[3]) == s_pairs + int(scan[3])
+        assert r_pairs <= s_pairs
+        assert int(rolled[7]) == int(scan[7])    # same needed_m
 
 
 def test_join_decision_bound():
