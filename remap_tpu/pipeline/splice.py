@@ -230,18 +230,34 @@ def _extract_snippets(
     return [_snippet_finalize(p, cfg) for p in pending]
 
 
+def _canon_dim(n: int) -> int:
+    """Power-of-two mask-bucket dims (floor 128).
+
+    Rounding the pad-state dims to powers of two makes the matcher's
+    compile signature CANONICAL: any session at a given canvas scale
+    hits the same (capacity, bucket, multiplicity) triple, so the
+    persistent compile cache (utils.runtime.setup_cache) serves the
+    ~110 s session-scale pair-match compile (benchmarks/
+    fgs_match_probe.py) from disk on every later session.  The 128-
+    granular rolling max it replaces produced per-session exact sizes
+    the cache never saw twice."""
+    return max(_BUCKET, 1 << (int(n) - 1).bit_length())
+
+
 class _PadState:
     """Clip-wide compile-shape canonicalization for the splice matchers.
 
     The cellular matcher compiles per (table capacity, mask bucket,
     multiplicity) signature; a cold multi-fragment map used to pay one
     tunnel compile per pair combination.  Padding every pair to the
-    ROLLING MAXIMUM capacity and mask bucket over live snippets is
-    semantics-invariant — extra table rows are invalid (sentinel codes),
-    the mask bucket enters only as zero padding and key strides, and the
-    validation spans use the true dims — so the whole greedy stage
-    reuses ONE program per multiplicity until a merged snippet exceeds
-    the previous maximum (at most one new shape per growth level)."""
+    ROLLING MAXIMUM capacity and power-of-two mask bucket over live
+    snippets is semantics-invariant — extra table rows are invalid
+    (sentinel codes), the mask bucket enters only as zero padding and
+    key strides, and the validation spans use the true dims — so the
+    whole greedy stage reuses ONE program per multiplicity until a
+    merged snippet exceeds the previous maximum (at most one new shape
+    per DOUBLING, and the shapes recur across sessions — see
+    :func:`_canon_dim`)."""
 
     def __init__(self) -> None:
         self.cap = 0
@@ -251,8 +267,8 @@ class _PadState:
     def update(self, snippets: List["_Snippet"]) -> None:
         for s in snippets:
             self.cap = max(self.cap, s.codes.shape[0])
-            self.hb = max(self.hb, s.mask_bucket.shape[0])
-            self.wb = max(self.wb, s.mask_bucket.shape[1])
+            self.hb = max(self.hb, _canon_dim(s.mask_bucket.shape[0]))
+            self.wb = max(self.wb, _canon_dim(s.mask_bucket.shape[1]))
 
     def mask(self, s: "_Snippet") -> np.ndarray:
         m = s.mask_bucket
@@ -269,6 +285,28 @@ class _PadState:
         return np.pad(
             im, ((0, self.hb - im.shape[0]), (0, self.wb - im.shape[1]))
         )
+
+
+def _needed_multiplicity(head: _Snippet, other: _Snippet) -> int:
+    """Host-side replica of the join's ``needed_multiplicity``: the max,
+    over valid curr (= ``other``) rows, of how many valid prev (=
+    ``head``) rows share its code quadruple.  Knowing it BEFORE the
+    first device match lets the cellular matcher start at a sufficient
+    multiplicity instead of discovering it by overflowing — at session
+    scale each discarded ladder level was a ~110 s remote XLA compile
+    and the whole fgs wall was exactly two of them
+    (benchmarks/fgs_match_probe.py: compile 105-120 s/level, exec
+    0.03-0.22 s).  A numpy unique over ~1M code rows costs ~0.1 s."""
+    pc = head.codes[head.valid]
+    cc = other.codes[other.valid]
+    if pc.shape[0] == 0 or cc.shape[0] == 0:
+        return 0
+    void = np.dtype((np.void, pc.dtype.itemsize * 4))
+    pv = np.ascontiguousarray(pc).view(void).ravel()
+    cv = np.ascontiguousarray(cc).view(void).ravel()
+    uniq, counts = np.unique(pv, return_counts=True)
+    present = np.isin(uniq, cv)
+    return int(counts[present].max()) if present.any() else 0
 
 
 def _match(
@@ -316,6 +354,13 @@ def _match(
     h_codes, h_pos, h_valid = padded(head)
     o_codes, o_pos, o_valid = padded(other)
     mult = cfg.join_multiplicity
+    est = _needed_multiplicity(head, other)
+    if est > mult:
+        # jump-start the ladder at the host-measured need (pow2 for
+        # canonical compile signatures); the overflow retry below stays
+        # as the safety net
+        nm = 1 << (est - 1).bit_length()
+        mult = 0 if 4 * nm >= k else nm
     while True:
         res = splice_ops.match_fragments(
             jnp.asarray(h_codes),
@@ -324,7 +369,10 @@ def _match(
             jnp.asarray(o_codes),
             jnp.asarray(o_pos),
             jnp.asarray(o_valid),
-            jnp.asarray(head.mask_bucket),
+            # pad-state (canonical pow2) mask shape, not the snippet's
+            # own 128-granular bucket: the mask dims are part of the
+            # compile signature (_canon_dim)
+            jnp.asarray(pad.mask(head)),
             jnp.asarray(np.array(head.dims, np.int32)),
             jnp.asarray(np.array(other.dims, np.int32)),
             cell_w=cfg.splice_cell[0],

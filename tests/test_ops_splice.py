@@ -170,3 +170,37 @@ def test_partial_masks():
     a[:, :40] = 0
     j, s = run_both(a, ma, b, mb)
     assert j == s
+
+
+def test_host_needed_multiplicity_matches_join():
+    """pipeline.splice._needed_multiplicity (the host-side jump-start
+    estimate that lets a session-scale splice compile ONE pair-match
+    program instead of overflowing through a ladder of ~110 s remote
+    compiles) must equal the join's own needed_multiplicity on every
+    table pair."""
+    from remap_tpu.ops import kpm as jkpm
+    from remap_tpu.pipeline.splice import _needed_multiplicity
+
+    rng = np.random.default_rng(77)
+
+    class T:
+        pass
+
+    for trial in range(6):
+        k = 96
+        reps = rng.integers(2, 10)
+        codes = rng.integers(1, reps + 2, size=(2, k, 4)).astype(np.uint32)
+        pos = rng.integers(0, 3000, size=(2, k, 2)).astype(np.int32)
+        valid = rng.random((2, k)) < 0.8
+        h = T()
+        h.codes, h.valid = codes[0], valid[0]
+        o = T()
+        o.codes, o.valid = codes[1], valid[1]
+
+        join = jkpm._join_slots_scan(
+            jnp.asarray(codes[0]), jnp.asarray(pos[0]),
+            jnp.asarray(valid[0]),
+            jnp.asarray(codes[1]), jnp.asarray(pos[1]),
+            jnp.asarray(valid[1]), 4,
+        )
+        assert _needed_multiplicity(h, o) == int(join[7]), trial
