@@ -55,9 +55,18 @@ from remap_tpu.core.regions import GridLayout
 #: the bit position (region flat sizes stay far under 2**24)
 _HUGE = 1 << 24
 
-#: VMEM working-set cap in int32 elements: frame planes (5) + per-region
-#: network planes (~7 live) must fit the 16 MB budget with headroom.
-_FRAME_CAP = 400_000
+#: Scoped-VMEM model, calibrated against the compiler's own accounting:
+#: the per-grid-step budget is the input/output blocks (5 frame planes +
+#: the [5, R, cap] table block, all int32) plus the shift network's live
+#: working planes over ONE region's (rh x wpad) slab.  Mosaic's
+#: scheduling of the unrolled log2(n) shift loop keeps ~40 int32 planes
+#: live at peak — measured: VGA 640x480 / 8 regions / cap 3072 was
+#: rejected by the chip at 16.77 MB scoped (limit 16 MB), and this
+#: model prices it at 16.4 MB; the NES flagship prices at ~6.6 MB and
+#: runs.  The 15 MB threshold leaves calibration headroom; shapes over
+#: it take the XLA sort2 path (ops.tables.build_tables fallback).
+_LIVE_PLANES = 40
+_SCOPED_LIMIT = 15 << 20
 
 
 def _wpad_of(rw: int) -> int:
@@ -68,12 +77,11 @@ def _wpad_of(rw: int) -> int:
 
 
 def supports(layout: GridLayout, h: int, w: int, capacity: int) -> bool:
-    """Static gate for the kernel path."""
+    """Static gate for the kernel path (structure + scoped-VMEM model)."""
     if capacity % 128 != 0:
         return False
-    lanes_w = ((w + 127) // 128) * 128
-    if h * lanes_w > _FRAME_CAP:
-        return False
+    r = layout.grid_w * layout.grid_h
+    work = 0
     for xs in range(layout.grid_w):
         for ys in range(layout.grid_h):
             x_lo, x_hi, y_lo, y_hi = layout.region_span(xs, ys)
@@ -83,7 +91,9 @@ def supports(layout: GridLayout, h: int, w: int, capacity: int) -> bool:
                 return False
             if capacity > rh * wpad:
                 return False
-    return True
+            work = max(work, rh * wpad)
+    blocks = 4 * (5 * h * w + 5 * r * capacity)
+    return blocks + 4 * _LIVE_PLANES * work <= _SCOPED_LIMIT
 
 
 def _shifted(x, s, wpad, rows):

@@ -286,3 +286,29 @@ def test_extract_kernel_matches_xla(interpret_pallas):
         np.asarray(out.codes)[sl], np.asarray(ref.codes)[sl]
     )
 
+
+
+def test_tables_kernel_vmem_gate():
+    """The shift-network kernel's supports() gate must price scoped VMEM:
+    the VGA streaming config (640x480, 8 regions, capacity 3072) was
+    measured to exceed the chip's 16 MB scoped-vmem limit (16.77 MB —
+    the extended sweep crashed on it), so the gate must reject it and
+    route the stage to the XLA sort2 fallback, while every config the
+    kernel is proven on stays gated IN."""
+    from remap_tpu.config import PipelineConfig
+    from remap_tpu.core.regions import make_layout
+    from remap_tpu.ops.pallas import tables as ptables
+
+    cfg = PipelineConfig()
+
+    def gate(w, h, cap):
+        lay = make_layout(w, h, cfg.grid_width, cfg.grid_height,
+                          cfg.grid_overlap)
+        return ptables.supports(lay, h, w, cap)
+
+    assert gate(256, 240, 640)        # NES flagship
+    assert gate(256, 240, 768)
+    assert gate(256, 224, 640)        # SNES
+    assert gate(388, 312, 768)        # C64
+    assert gate(372, 272, 384)        # gameplay sessions
+    assert not gate(640, 480, 3072)   # VGA: measured 16.77 MB > 16 MB
