@@ -179,7 +179,8 @@ def bench_pyramid(seconds=6.0):
     from remap_tpu.models.pyramid import match_pyramid
 
     B, H, W = 64, 480, 640
-    frames = make_clip(B + 1, H, W)
+    # make_clip's cyclic palindrome needs an even count; take B+1
+    frames = make_clip(B + 2, H, W)[: B + 1]
     prev = jax.device_put(frames[:-1])
     curr = jax.device_put(frames[1:])
 
